@@ -1,0 +1,163 @@
+"""Text frontend tests: tokenizer round-trips (reference
+`TransformerTTS/tests/test_char_tokenizer.py` behavior), cleaners, numbers,
+keithito sequence conversion, CMUDict."""
+import io
+
+import pytest
+
+from etts.text import (Pipeline, Tokenizer, English, German, CMUDict,
+                       text_to_sequence, sequence_to_text)
+from etts.text.symbols import _phonemes, _punctuations
+from etts.text.numbers_en import (number_to_words, number_to_ordinal_words,
+                                  year_to_words, number_to_words_de,
+                                  normalize_numbers)
+
+
+class TestTokenizer:
+    def setup_method(self):
+        self.alphabet = sorted(list(_phonemes) + list(_punctuations))
+        self.tok = Tokenizer(self.alphabet, add_start_end=True)
+
+    def test_ids_start_at_one_and_pad_is_zero(self):
+        assert self.tok.token_to_idx['/'] == 0
+        assert min(self.tok.token_to_idx[c] for c in self.alphabet) == 1
+
+    def test_start_end_tokens(self):
+        seq = self.tok('a')
+        assert seq[0] == self.tok.start_token_index
+        assert seq[-1] == self.tok.end_token_index
+        assert len(seq) == 3
+
+    def test_roundtrip_drops_oov(self):
+        text = 'aə?Ω'  # Ω is OOV
+        seq = self.tok(text)
+        assert self.tok.decode(seq) == '>aə?<'
+
+    def test_vocab_size(self):
+        assert self.tok.vocab_size == len(self.alphabet) + 3
+
+    def test_no_start_end(self):
+        tok = Tokenizer(self.alphabet, add_start_end=False)
+        assert tok.vocab_size == len(self.alphabet) + 1
+        assert tok.decode(tok('ab')) == 'ab'
+
+
+class TestNumbers:
+    @pytest.mark.parametrize("n,words", [
+        (0, 'zero'), (7, 'seven'), (15, 'fifteen'), (21, 'twenty-one'),
+        (100, 'one hundred'), (101, 'one hundred and one'),
+        (342, 'three hundred and forty-two'),
+        (1000, 'one thousand'),
+        (1234, 'one thousand two hundred and thirty-four'),
+        (1000000, 'one million'),
+    ])
+    def test_cardinals(self, n, words):
+        assert number_to_words(n) == words
+
+    @pytest.mark.parametrize("n,words", [
+        (1, 'first'), (2, 'second'), (3, 'third'), (4, 'fourth'),
+        (5, 'fifth'), (12, 'twelfth'), (20, 'twentieth'),
+        (21, 'twenty-first'), (100, 'one hundredth'),
+    ])
+    def test_ordinals(self, n, words):
+        assert number_to_ordinal_words(n) == words
+
+    @pytest.mark.parametrize("n,words", [
+        (1905, 'nineteen oh five'), (1999, 'nineteen ninety-nine'),
+        (2000, 'two thousand'), (2008, 'two thousand eight'),
+        (2100, 'twenty-one hundred'),
+    ])
+    def test_years(self, n, words):
+        assert year_to_words(n) == words
+
+    @pytest.mark.parametrize("n,words", [
+        (1, 'eins'), (21, 'einundzwanzig'), (100, 'einhundert'),
+        (101, 'einhunderteins'), (1000, 'eintausend'),
+        (345, 'dreihundertfünfundvierzig'),
+    ])
+    def test_german(self, n, words):
+        assert number_to_words_de(n) == words
+
+    def test_keithito_normalize(self):
+        assert normalize_numbers('$1.50') == 'one dollar, fifty cents'
+        assert normalize_numbers('1,000') == 'one thousand'
+        assert normalize_numbers('2nd') == 'second'
+        assert normalize_numbers('3.14') == 'three point fourteen'
+        assert normalize_numbers('£5') == 'five pounds'
+
+
+class TestCleaners:
+    def test_english_abbreviations(self):
+        c = English()
+        assert c('Dr. Smith') == 'Dr Smith'
+        assert c('at 5 a.m. sharp') == 'at five a m sharp'
+
+    def test_english_filters_oov_chars(self):
+        c = English()
+        assert c('héllo~ world') == 'hllo world'
+
+    def test_english_numbers(self):
+        c = English()
+        assert c('I have 2 cats.') == 'I have two cats.'
+
+    def test_list_input(self):
+        c = English()
+        assert c(['1 a', '2 b']) == ['one a', 'two b']
+
+    def test_german_numbers(self):
+        c = German()
+        assert c('Ich habe 2 Katzen') == 'Ich habe zwei Katzen'
+
+
+class TestPipeline:
+    def test_default_pipeline_runs(self):
+        p = Pipeline.default_pipeline('en', add_start_end=True,
+                                      with_stress=False, backend='grapheme')
+        seq = p('Hello world, 5 cats!')
+        assert isinstance(seq, list) and len(seq) > 5
+        assert seq[0] == p.tokenizer.start_token_index
+        assert seq[-1] == p.tokenizer.end_token_index
+
+    def test_deterministic(self):
+        p = Pipeline.default_pipeline('en', add_start_end=True,
+                                      with_stress=False, backend='grapheme')
+        assert p('Same text.') == p('Same text.')
+
+
+class TestKeithito:
+    def test_basic_roundtrip(self):
+        seq = text_to_sequence('hello?', ['basic_cleaners'])
+        assert sequence_to_text(seq) == 'hello?~'
+
+    def test_arpabet_braces(self):
+        seq = text_to_sequence('Turn {HH AW1 S} now.', ['english_cleaners'])
+        text = sequence_to_text(seq)
+        assert '{HH AW1 S}' in text
+
+    def test_english_cleaners_expand(self):
+        seq = text_to_sequence('Mr. Jones bought 3 dogs.', ['english_cleaners'])
+        assert 'mister jones bought three dogs.' in sequence_to_text(seq)
+
+    def test_eos_appended(self):
+        seq = text_to_sequence('x', ['basic_cleaners'])
+        from etts.text.keithito import _symbol_to_id
+        assert seq[-1] == _symbol_to_id['~']
+
+
+class TestCMUDict:
+    DATA = ("HELLO  HH AH0 L OW1\n"
+            "WORLD  W ER1 L D\n"
+            "READ  R EH1 D\n"
+            "READ(1)  R IY1 D\n"
+            "BAD;LINE\n")
+
+    def test_lookup(self):
+        d = CMUDict(io.StringIO(self.DATA))
+        assert d.lookup('hello') == ['HH AH0 L OW1']
+        assert d.lookup('WORLD') == ['W ER1 L D']
+        assert d.lookup('missing') is None
+
+    def test_len(self):
+        # READ(1) keys separately, as in the keithito parser; BAD;LINE is dropped
+        d = CMUDict(io.StringIO(self.DATA))
+        assert len(d) == 4
