@@ -1,0 +1,341 @@
+"""AutoregressiveTransformer — GST/speaker-conditioned AR acoustic model.
+
+Re-design of `TransformerTTS/model/AutoregressiveTransformer.py` with the four
+conditioning modes (``system_type`` in {text, style_text, speaker_text,
+speaker_style_text}, ctor :87-95 / call_encoder :124-159), the scheduled
+reduction factor r (final Dense predicts mel*max_r, sliced to r*mel and
+reshaped to t*r frames, :173-177), the 3-class stop token, and the
+teacher-forcing input reshape (shift + r-stride, :318-327).
+
+TPU-first decode: the reference re-runs the whole prefix every step in eager
+mode (:279-295). Here ``autoregressive_predict`` runs a ``lax.while_loop`` with
+per-block self-attention KV caches (O(T) instead of O(T^2) attention recompute)
+and a sliding-window incremental postnet (causal convs recomputed only over
+their receptive field), with stop-token early exit. Everything is one compiled
+XLA program.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from .layers import (SelfAttentionBlocks, CrossAttentionBlocks, DecoderPrenet,
+                     Postnet, ReferenceEncoderGST)
+from ..ops.masking import (encoder_padding_mask, mel_padding_mask,
+                           look_ahead_mask)
+
+SYSTEM_TYPES = ("text", "style_text", "speaker_text", "speaker_style_text")
+
+
+class AutoregressiveTransformer(nn.Module):
+    system_type: str = "speaker_style_text"
+    encoder_model_dimension: int = 256
+    decoder_model_dimension: int = 256
+    encoder_num_heads: Sequence[int] = (4, 4, 4, 4)
+    decoder_num_heads: Sequence[int] = (4, 4, 4, 4)
+    encoder_maximum_position_encoding: int = 1000
+    decoder_maximum_position_encoding: int = 10000
+    encoder_dense_blocks: int = 4
+    decoder_dense_blocks: int = 4
+    encoder_prenet_dimension: int = 256
+    decoder_prenet_dimension: int = 256
+    postnet_conv_filters: int = 256
+    postnet_conv_layers: int = 5
+    postnet_kernel_size: int = 5
+    dropout_rate: float = 0.1
+    mel_start_value: float = 0.5
+    mel_end_value: float = -0.5
+    mel_channels: int = 80
+    vocab_size: int = 128
+    ref_encoder_filters: Sequence[int] = (32, 32, 64, 64, 128, 128)
+    ref_encoder_kernel_size: int = 3
+    ref_encoder_strides: int = 2
+    ref_encoder_gru_cell_units: int = 128
+    gst_style_embed_dim: int = 256
+    gst_multi_num_heads: int = 4
+    gst_heads: int = 10
+    encoder_attention_conv_filters: int = 256
+    decoder_attention_conv_filters: int = 256
+    encoder_attention_conv_kernel: int = 3
+    decoder_attention_conv_kernel: int = 3
+    encoder_feed_forward_dimension: int = 1024
+    decoder_feed_forward_dimension: int = 1024
+    max_r: int = 10
+    dtype: Any = jnp.float32
+
+    stop_prob_index: int = 2
+
+    @property
+    def has_style(self) -> bool:
+        return self.system_type in ("style_text", "speaker_style_text")
+
+    @property
+    def has_speaker(self) -> bool:
+        return self.system_type in ("speaker_text", "speaker_style_text")
+
+    def setup(self):
+        assert self.system_type in SYSTEM_TYPES, self.system_type
+        self.text_encoder_prenet = nn.Embed(self.vocab_size,
+                                            self.encoder_prenet_dimension,
+                                            dtype=self.dtype,
+                                            name="TextEmbedding")
+        self.text_encoder = SelfAttentionBlocks(
+            model_dim=self.encoder_model_dimension,
+            dropout_rate=self.dropout_rate,
+            num_heads=self.encoder_num_heads,
+            feed_forward_dimension=self.encoder_feed_forward_dimension,
+            maximum_position_encoding=self.encoder_maximum_position_encoding,
+            dense_blocks=self.encoder_dense_blocks,
+            conv_filters=self.encoder_attention_conv_filters,
+            kernel_size=self.encoder_attention_conv_kernel,
+            conv_activation="relu", name_prefix="TextEncoder",
+            dtype=self.dtype, name="TextEncoder")
+        if self.has_style:
+            self.style_encoder = ReferenceEncoderGST(
+                conv_filters=self.ref_encoder_filters,
+                kernel_size=self.ref_encoder_kernel_size,
+                strides=self.ref_encoder_strides,
+                gru_cell_units=self.ref_encoder_gru_cell_units,
+                gst_style_embed_dim=self.gst_style_embed_dim,
+                multi_num_heads=self.gst_multi_num_heads,
+                gst_heads=self.gst_heads, dtype=self.dtype,
+                name="RefEncoderGST")
+        self.decoder_prenet = DecoderPrenet(
+            model_dim=self.decoder_model_dimension,
+            dense_hidden_units=self.decoder_prenet_dimension,
+            dtype=self.dtype, name="DecoderPrenet")
+        self.decoder = CrossAttentionBlocks(
+            model_dim=self.decoder_model_dimension,
+            dropout_rate=self.dropout_rate,
+            num_heads=self.decoder_num_heads,
+            feed_forward_dimension=self.decoder_feed_forward_dimension,
+            maximum_position_encoding=self.decoder_maximum_position_encoding,
+            dense_blocks=self.decoder_dense_blocks,
+            conv_filters=self.decoder_attention_conv_filters,
+            conv_kernel=self.decoder_attention_conv_kernel,
+            conv_activation="relu", conv_padding="causal",
+            name_prefix="Decoder", dtype=self.dtype, name="Decoder")
+        self.final_proj_mel = nn.Dense(self.mel_channels * self.max_r,
+                                       dtype=self.dtype, name="FinalProj")
+        self.decoder_postnet = Postnet(mel_channels=self.mel_channels,
+                                       conv_filters=self.postnet_conv_filters,
+                                       conv_layers=self.postnet_conv_layers,
+                                       kernel_size=self.postnet_kernel_size,
+                                       dtype=self.dtype, name="Postnet")
+
+    # -- encoder ------------------------------------------------------------
+
+    def encode(self, inputs, targets=None, spk_embed=None,
+               train_text_encoder: bool = False,
+               train_style_encoder: bool = False, drop_n_heads=0):
+        """Conditioning concat of `call_encoder` (:124-159): text encoding,
+        optionally concat with tiled GST and/or speaker embeddings along the
+        feature axis (dim x1/x2/x3 by system_type)."""
+        padding_mask = encoder_padding_mask(inputs)
+        x = self.text_encoder_prenet(inputs)
+        text_enc_output, text_attn = self.text_encoder(
+            x, padding_mask, train=train_text_encoder,
+            drop_n_heads=drop_n_heads)
+
+        gst_output, gst_attn, gst_tokens = None, None, None
+        parts = [text_enc_output]
+        n = text_enc_output.shape[1]
+        if self.has_style:
+            gst_output, gst_attn, gst_tokens = self.style_encoder(
+                targets, train=train_style_encoder, drop_n_heads=drop_n_heads)
+            parts.append(jnp.tile(gst_output, (1, n, 1)))
+        if self.has_speaker:
+            parts.append(jnp.tile(spk_embed, (1, n, 1)))
+        enc_output = jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+
+        # reference quirk: cross-attention mask recomputed from the (dense)
+        # encoder output — effectively all-zeros (`AutoregressiveTransformer.py:158`)
+        cross_mask = mel_padding_mask(enc_output)
+        return (enc_output, cross_mask, text_attn, gst_attn, gst_tokens,
+                gst_output, text_enc_output)
+
+    def encode_style(self, targets, train: bool = False, drop_n_heads=0):
+        """Style encoder alone (used by the style-consistency loss,
+        `traning_steps.py:42-50`)."""
+        return self.style_encoder(targets, train=train, drop_n_heads=drop_n_heads)
+
+    # -- decoder ------------------------------------------------------------
+
+    def decode(self, encoder_output, targets, encoder_padding_mask_,
+               train: bool = False, drop_n_heads=0, r: int = 1,
+               prenet_dropout: float = 0.5):
+        """Teacher-forced full-sequence decode (`call_decoder` :161-181)."""
+        dec_pad = mel_padding_mask(targets)
+        la = look_ahead_mask(targets.shape[1])
+        combined = jnp.maximum(dec_pad, la)
+        dec_input = self.decoder_prenet(targets, prenet_dropout)
+        dec_output, attn, _ = self.decoder(
+            dec_input, encoder_output, combined, encoder_padding_mask_,
+            train=train, drop_n_heads=drop_n_heads, reduction_factor=r)
+        out_proj = self.final_proj_mel(dec_output)[:, :, :r * self.mel_channels]
+        b, t = out_proj.shape[0], out_proj.shape[1]
+        mel = out_proj.reshape(b, t * r, self.mel_channels)
+        model_out = self.decoder_postnet(mel, train=train)
+        model_out.update({"decoder_attention": attn,
+                          "decoder_output": dec_output, "linear": mel})
+        return model_out
+
+    def decode_step(self, new_frame, encoder_output, encoder_padding_mask_,
+                    caches, cache_index, r: int = 1,
+                    prenet_dropout: float = 0.5, drop_n_heads=0):
+        """One incremental decode step with KV caches.
+
+        new_frame: (b, 1, mel). Returns (mel_linear_r (b, r, mel), new_caches).
+        """
+        dec_input = self.decoder_prenet(new_frame, prenet_dropout)
+        dec_output, _, new_caches = self.decoder(
+            dec_input, encoder_output, None, encoder_padding_mask_,
+            train=False, drop_n_heads=drop_n_heads, reduction_factor=r,
+            caches=caches, cache_index=cache_index, pos_offset=cache_index)
+        out_proj = self.final_proj_mel(dec_output)[:, :, :r * self.mel_channels]
+        b = out_proj.shape[0]
+        mel = out_proj.reshape(b, r, self.mel_channels)
+        return mel, new_caches
+
+    def postnet_forward(self, mel_window):
+        """Postnet over a causal window (incremental decode helper)."""
+        return self.decoder_postnet(mel_window, train=False)
+
+    # -- full forward -------------------------------------------------------
+
+    def __call__(self, inputs, targets, spk_embed=None,
+                 train_text_encoder: bool = False,
+                 train_style_encoder: bool = False,
+                 train_decoder: bool = False, r: int = 1,
+                 prenet_dropout: float = 0.5, drop_n_heads=0):
+        (enc_out, cross_mask, text_attn, gst_attn, gst_tokens, gst_output,
+         text_enc_output) = self.encode(
+            inputs, targets, spk_embed, train_text_encoder,
+            train_style_encoder, drop_n_heads)
+        model_out = self.decode(enc_out, targets, cross_mask,
+                                train=train_decoder, drop_n_heads=drop_n_heads,
+                                r=r, prenet_dropout=prenet_dropout)
+        model_out.update({"text_encoder_attention": text_attn,
+                          "gst_encoder_attention": gst_attn,
+                          "gst_tokens": gst_tokens,
+                          "gst_output": gst_output,
+                          "text_enc_output": text_enc_output})
+        return model_out
+
+    # -- helpers ------------------------------------------------------------
+
+    def start_vector(self, batch: int = 1):
+        return jnp.full((batch, 1, self.mel_channels), self.mel_start_value,
+                        self.dtype)
+
+    @staticmethod
+    def input_reshape(mel, stop_prob, r: int):
+        """Teacher-forcing shift + r-stride (`input_reshape` :318-327):
+        tar_mel = mel[:, :-1][:, ::r]; tar_real = mel[:, 1:]."""
+        tar_inp = mel[:, :-1]
+        tar_real = mel[:, 1:]
+        tar_stop = stop_prob[:, 1:]
+        mel_len = tar_inp.shape[1]
+        tar_mel = tar_inp[:, 0::r, :]
+        return tar_real, tar_mel, tar_stop, mel_len
+
+    @staticmethod
+    def encode_ref(ref_mel, r: int):
+        """Reference-mel conditioning input: trim last frame, r-stride (:312-316)."""
+        tar = ref_mel[None] if ref_mel.ndim == 2 else ref_mel
+        return tar[:, :-1][:, 0::r, :]
+
+
+# ---------------------------------------------------------------------------
+# Incremental AR inference
+# ---------------------------------------------------------------------------
+
+def _decoder_cache_spec(model: AutoregressiveTransformer, batch: int,
+                        max_steps: int):
+    """Zero caches for every decoder block: self-attention KV
+    (b, heads, max_steps, depth) plus, for conv blocks, the rolling causal-conv
+    input window."""
+    caches = []
+    n_dense = model.decoder_dense_blocks
+    for i, h in enumerate(model.decoder_num_heads):
+        depth = model.decoder_model_dimension // h
+        z = jnp.zeros((batch, h, max_steps, depth), model.dtype)
+        entry = {"k": z, "v": z}
+        if i >= n_dense:  # conv block: 2 causal convs of the block kernel
+            rf = 2 * (model.decoder_attention_conv_kernel - 1)
+            entry["conv"] = jnp.zeros(
+                (batch, rf, model.decoder_model_dimension), model.dtype)
+        caches.append(entry)
+    return caches
+
+
+def autoregressive_predict(model: AutoregressiveTransformer, variables,
+                           inputs, ref_mel=None, spk_embed=None, *,
+                           r: int = 1, max_length: int = 1000,
+                           key: Optional[jax.Array] = None,
+                           prenet_dropout: float = 0.5):
+    """jit-compilable greedy AR decode with stop-token early exit.
+
+    inputs: (b, n) token ids; ref_mel (already r-strided via
+    ``AutoregressiveTransformer.encode_ref``) when system uses style;
+    spk_embed (b, 1, d) when system uses speakers.
+    Returns dict with 'mel' (b, max_steps*r, mel) and 'mel_length' (b,) —
+    callers slice mel[:, :mel_length] host-side.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    b = inputs.shape[0]
+    max_steps = int(max_length) // r + 1
+    mel_ch = model.mel_channels
+    # postnet receptive field: n_layers causal convs of kernel k
+    ctx = model.postnet_conv_layers * (model.postnet_kernel_size - 1)
+    W = ctx + r  # static postnet window
+
+    ekey, dkey = jax.random.split(key)
+    enc_out, cross_mask, text_attn, gst_attn, gst_tokens, *_ = model.apply(
+        variables, inputs, ref_mel, spk_embed, False, False, 0,
+        method=AutoregressiveTransformer.encode,
+        rngs={"dropout": ekey, "prenet": ekey})
+
+    lin_buf = jnp.zeros((b, W + max_steps * r, mel_ch), model.dtype)
+    out_buf = jnp.zeros((b, max_steps * r, mel_ch), model.dtype)
+    caches = _decoder_cache_spec(model, b, max_steps)
+    start = jnp.full((b, 1, mel_ch), model.mel_start_value, model.dtype)
+
+    def cond(carry):
+        i, done, *_ = carry
+        return jnp.logical_and(i < max_steps, jnp.logical_not(done))
+
+    def body(carry):
+        i, done, last, caches, lin_buf, out_buf, length = carry
+        k1, k2 = jax.random.split(jax.random.fold_in(dkey, i))
+        mel_r, new_caches = model.apply(
+            variables, last, enc_out, cross_mask, caches, i, r,
+            prenet_dropout, 0,
+            method=AutoregressiveTransformer.decode_step,
+            rngs={"prenet": k1, "dropout": k2})
+        lin_buf2 = jax.lax.dynamic_update_slice(lin_buf, mel_r, (0, W + i * r, 0))
+        # causal postnet over the trailing receptive-field window
+        window = jax.lax.dynamic_slice(lin_buf2, (0, i * r + r, 0),
+                                       (b, W, mel_ch))
+        post = model.apply(variables, window,
+                           method=AutoregressiveTransformer.postnet_forward)
+        final_r = post["final_output"][:, -r:, :]
+        out_buf2 = jax.lax.dynamic_update_slice(out_buf, final_r, (0, i * r, 0))
+        stop_logits = post["stop_prob"][:, -1]
+        stopped = (jnp.argmax(stop_logits, axis=-1)
+                   == model.stop_prob_index).all()
+        next_input = final_r[:, -1:, :]
+        return (i + 1, stopped, next_input, new_caches, lin_buf2, out_buf2,
+                jnp.where(done, length, (i + 1) * r))
+
+    init = (jnp.int32(0), jnp.bool_(False), start, caches, lin_buf, out_buf,
+            jnp.int32(0))
+    i, done, _, _, _, out_buf, length = jax.lax.while_loop(cond, body, init)
+    return {"mel": out_buf, "mel_length": length, "steps": i,
+            "text_encoder_attention": text_attn,
+            "gst_encoder_attention": gst_attn, "gst_tokens": gst_tokens}
