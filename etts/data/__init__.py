@@ -1,0 +1,2 @@
+from .dataset import (Dataset, DataPrepper, ForwardDataPrepper, load_files,
+                      VocoderDataset, collate_vocoder, pad_to_multiple)

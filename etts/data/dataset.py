@@ -1,0 +1,221 @@
+"""Host-side input pipeline (tf-free, torch-free).
+
+Replaces `TransformerTTS/preprocessing/data_handling.py` (generator Dataset,
+DataPrepper sentinels, runtime batch-size switching) and the vocoder dataset /
+random-crop collate of `WaveRNN/utility/dataset.py:16-91`.
+
+TPU-specific design: padded batch shapes are rounded up to configurable
+multiples (``pad_text_multiple`` / ``pad_mel_multiple``) so XLA sees a small,
+bounded set of shapes instead of one compile per utterance length — the JAX
+equivalent of the reference's implicit "retrace forever" tf.data behavior.
+For data parallelism, ``Dataset`` can shard per host (``shard_index`` /
+``num_shards``).
+"""
+from __future__ import annotations
+
+import os
+from random import Random
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["load_files", "DataPrepper", "ForwardDataPrepper", "Dataset",
+           "VocoderDataset", "collate_vocoder", "pad_to_multiple"]
+
+
+def load_files(metafile, mel_dir, spk_embed_dir=None, num_samples=None):
+    """Parse an `id|text|phonemes` metafile into sample tuples
+    (`data_handling.py:59-83`). Returns (samples, alphabet)."""
+    samples, alphabet, count = [], set(), 0
+    with open(metafile, "r", encoding="utf-8") as f:
+        for line in f.readlines():
+            parts = line.split("|")
+            if len(parts) < 3:
+                continue
+            text = parts[1].strip().lower()
+            phonemes = parts[2].strip()
+            mel_file = os.path.join(str(mel_dir), parts[0] + ".npy")
+            spk_file = (os.path.join(str(spk_embed_dir), parts[0] + ".npy")
+                        if spk_embed_dir is not None else None)
+            samples.append((phonemes, text, mel_file, spk_file))
+            alphabet.update(list(text))
+            count += 1
+            if num_samples is not None and count > num_samples:
+                break
+    return samples, sorted(alphabet)
+
+
+class DataPrepper:
+    """Sample tuple -> (mel+sentinels, token ids, stop probs, spk embed)
+    (`data_handling.py:86-108`): start vector +0.5 prepended, end vector -0.5
+    appended, stop-prob 2 at the final frame, dummy [inf] when no speaker."""
+
+    def __init__(self, config: dict, tokenizer):
+        self.start_vec = np.ones((1, config["mel_channels"])) * config["mel_start_value"]
+        self.end_vec = np.ones((1, config["mel_channels"])) * config["mel_end_value"]
+        self.tokenizer = tokenizer
+
+    def __call__(self, sample):
+        phonemes, text, mel_path, spk_path = sample
+        mel = np.load(mel_path)
+        spk = np.array([np.inf]) if spk_path is None else np.load(spk_path)
+        return self._run(phonemes, text, mel, spk)
+
+    def _run(self, phonemes, text, mel, spk_embed):
+        tokens = np.asarray(self.tokenizer(phonemes), np.int32)
+        norm_mel = np.concatenate([self.start_vec, mel, self.end_vec],
+                                  axis=0).astype(np.float32)
+        stop = np.ones(norm_mel.shape[0], np.int32)
+        stop[-1] = 2
+        return norm_mel, tokens, stop, np.asarray(spk_embed, np.float32)
+
+
+class ForwardDataPrepper:
+    """npy triple (mel, phonemes, durations) loader (`data_handling.py:111-115`)."""
+
+    def __call__(self, sample):
+        mel, tokens, durations = np.load(str(sample), allow_pickle=True)
+        return (np.asarray(mel, np.float32), np.asarray(tokens, np.int32),
+                np.asarray(durations, np.float32))
+
+
+def pad_to_multiple(n: int, m: Optional[int]) -> int:
+    if not m:
+        return n
+    return ((n + m - 1) // m) * m
+
+
+def _pad_batch(arrays, pad_multiple=None, extra_len=0):
+    """Stack variable-length numpy arrays with trailing-zero padding on axis 0."""
+    max_len = max(a.shape[0] for a in arrays) + extra_len
+    max_len = pad_to_multiple(max_len, pad_multiple)
+    out = np.zeros((len(arrays), max_len) + arrays[0].shape[1:],
+                   arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        out[i, :a.shape[0]] = a
+    return out
+
+
+class Dataset:
+    """Shuffling, padded-batching, infinitely-repeating iterator over samples.
+
+    API parity with `data_handling.py:10-56`: ``next_batch`` /
+    ``all_batches`` / ``change_batches``. Adds per-host sharding and
+    pad-to-multiple bucketing.
+    """
+
+    def __init__(self, samples, preprocessor: Callable, batch_size: int,
+                 shuffle=True, drop_remainder=True, mel_channels=80, seed=42,
+                 pad_text_multiple: Optional[int] = 8,
+                 pad_mel_multiple: Optional[int] = 32,
+                 shard_index: int = 0, num_shards: int = 1):
+        self._random = Random(seed)
+        self._samples = list(samples)[shard_index::num_shards]
+        self.preprocessor = preprocessor
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.mel_channels = mel_channels
+        self.pad_text_multiple = pad_text_multiple
+        self.pad_mel_multiple = pad_mel_multiple
+        self.data_iter = self._infinite_iter()
+
+    def __len__(self):
+        return len(self._samples)
+
+    def _collate(self, items):
+        if len(items[0]) == 4:  # autoregressive: (mel, tokens, stop, spk)
+            mels, tokens, stops, spks = zip(*items)
+            batch = (
+                _pad_batch(mels, self.pad_mel_multiple),
+                _pad_batch(tokens, self.pad_text_multiple),
+                _pad_batch(stops, self.pad_mel_multiple),
+                np.stack([np.atleast_1d(s) for s in spks]),
+            )
+            return batch
+        # forward: (mel, tokens, durations)
+        mels, tokens, durs = zip(*items)
+        return (_pad_batch(mels, self.pad_mel_multiple),
+                _pad_batch(tokens, self.pad_text_multiple),
+                _pad_batch(durs, self.pad_text_multiple))
+
+    def _one_epoch(self):
+        samples = self._samples[:]
+        if self.shuffle:
+            self._random.shuffle(samples)
+        buf = []
+        for s in samples:
+            buf.append(self.preprocessor(s))
+            if len(buf) == self.batch_size:
+                yield self._collate(buf)
+                buf = []
+        if buf and not self.drop_remainder:
+            yield self._collate(buf)
+
+    def _infinite_iter(self):
+        while True:
+            yield from self._one_epoch()
+
+    def next_batch(self):
+        return next(self.data_iter)
+
+    def all_batches(self):
+        return self._one_epoch()
+
+    def change_batches(self, batch_size: int):
+        """Runtime batch-size switching (`data_handling.py:41-46`; used by the
+        MINE batch-size schedule)."""
+        self.batch_size = batch_size
+        self.data_iter = self._infinite_iter()
+
+
+# ---------------------------------------------------------------------------
+# Vocoder dataset (WaveRNN)
+# ---------------------------------------------------------------------------
+
+class VocoderDataset:
+    """Paired {data}/mel/*.npy + {data}/quant/*.npy (or gta/) store
+    (`WaveRNN/utility/dataset.py:16-30`). Mel files are (n_mels, t)."""
+
+    def __init__(self, ids: Sequence[str], path: str, train_gta: bool = False):
+        self.metadata = list(ids)
+        self.mel_path = os.path.join(path, "gta" if train_gta else "mel")
+        self.quant_path = os.path.join(path, "quant")
+
+    def __getitem__(self, index):
+        item_id = self.metadata[index]
+        m = np.load(os.path.join(self.mel_path, f"{item_id}.npy"))
+        x = np.load(os.path.join(self.quant_path, f"{item_id}.npy"))
+        return m, x
+
+    def __len__(self):
+        return len(self.metadata)
+
+
+def _label_to_float(x, bits):
+    return 2.0 * x / (2 ** bits - 1.0) - 1.0
+
+
+def collate_vocoder(batch, seq_len: int, hop_length: int, pad: int,
+                    mode: str = "MOL", bits: int = 9,
+                    rng: Optional[np.random.Generator] = None):
+    """Random-crop collate (`WaveRNN/utility/dataset.py:65-91`): aligned mel
+    window (with `pad` context) + quantized-sample window; returns
+    (x[t], y[t+1], mels)."""
+    rng = rng or np.random.default_rng()
+    mel_win = seq_len // hop_length + 2 * pad
+    max_offsets = [x[0].shape[-1] - 2 - (mel_win + 2 * pad) for x in batch]
+    mel_offsets = [int(rng.integers(0, o)) for o in max_offsets]
+    sig_offsets = [(o + pad) * hop_length for o in mel_offsets]
+    mels = np.stack([x[0][:, mel_offsets[i]:mel_offsets[i] + mel_win]
+                     for i, x in enumerate(batch)]).astype(np.float32)
+    labels = np.stack([x[1][sig_offsets[i]:sig_offsets[i] + seq_len + 1]
+                       for i, x in enumerate(batch)]).astype(np.int64)
+    x = labels[:, :seq_len]
+    y = labels[:, 1:]
+    x_bits = 16 if mode == "MOL" else bits
+    x = _label_to_float(x.astype(np.float32), x_bits)
+    if mode == "MOL":
+        y = _label_to_float(y.astype(np.float32), x_bits)
+    # models take (b, t_mel, n_mels)
+    return x, y, mels.transpose(0, 2, 1)

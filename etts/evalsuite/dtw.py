@@ -1,0 +1,61 @@
+"""Dynamic time warping (replaces the fastdtw dependency of
+`objective_measure.py`). Exact O(nm) DP with optional Sakoe-Chiba band;
+vectorized over the inner loop."""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["dtw_path", "dtw_distance"]
+
+
+def _cost_matrix(x, y):
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    y = np.atleast_2d(np.asarray(y, np.float64))
+    if x.shape[0] == 1 and x.ndim == 2 and x.shape[1] != y.shape[1]:
+        pass
+    # pairwise euclidean
+    x2 = np.sum(x ** 2, axis=1)[:, None]
+    y2 = np.sum(y ** 2, axis=1)[None, :]
+    d2 = np.maximum(x2 + y2 - 2.0 * (x @ y.T), 0.0)
+    return np.sqrt(d2)
+
+
+def dtw_path(x, y, band: int | None = None):
+    """Align sequences x (n, d) and y (m, d); returns (distance, path) where
+    path is a list of (i, j) index pairs (like fastdtw's output)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if y.ndim == 1:
+        y = y[:, None]
+    n, m = x.shape[0], y.shape[0]
+    cost = _cost_matrix(x, y)
+    if band is not None:
+        mask = np.abs(np.arange(n)[:, None] - np.arange(m)[None, :]
+                      * (n / m)) > band
+        cost = np.where(mask, np.inf, cost)
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        prev = acc[i - 1]
+        cur = acc[i]
+        c = cost[i - 1]
+        # cur[j] = c[j-1] + min(prev[j], prev[j-1], cur[j-1]) — sequential in j
+        for j in range(1, m + 1):
+            cur[j] = c[j - 1] + min(prev[j], prev[j - 1], cur[j - 1])
+    # backtrack
+    path = []
+    i, j = n, m
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        moves = [(acc[i - 1, j - 1], i - 1, j - 1),
+                 (acc[i - 1, j], i - 1, j),
+                 (acc[i, j - 1], i, j - 1)]
+        _, i, j = min(moves)
+    path.reverse()
+    return float(acc[n, m]), path
+
+
+def dtw_distance(x, y, band: int | None = None) -> float:
+    return dtw_path(x, y, band)[0]

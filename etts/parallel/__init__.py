@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, shard_batch, replicate, data_parallel_jit,
+                   local_batch_slice)

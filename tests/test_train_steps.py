@@ -1,0 +1,204 @@
+"""Integration tests: jitted train steps reduce loss on tiny overfit batches,
+MINE joint training runs, and data-parallel training over an 8-device CPU mesh
+matches single-device results."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etts.models.autoregressive import AutoregressiveTransformer
+from etts.models.forward import ForwardTransformer
+from etts.models.wavernn import WaveRNN
+from etts.models.mine import MINE, MIState
+from etts.train import (TrainState, make_optimizer, interp_schedule,
+                        make_forward_train_step,
+                        make_autoregressive_train_step,
+                        make_autoregressive_val_step, make_mine_update,
+                        make_wavernn_train_step)
+from etts.parallel import make_mesh, shard_batch, replicate
+
+TINY = dict(encoder_model_dimension=32, decoder_model_dimension=32,
+            encoder_num_heads=(2, 2), decoder_num_heads=(2, 2),
+            encoder_dense_blocks=2, decoder_dense_blocks=2,
+            encoder_feed_forward_dimension=64,
+            decoder_feed_forward_dimension=64,
+            encoder_attention_conv_filters=32,
+            decoder_attention_conv_filters=32,
+            postnet_conv_filters=32, postnet_conv_layers=2,
+            postnet_kernel_size=3, mel_channels=12, vocab_size=40,
+            encoder_maximum_position_encoding=100,
+            decoder_maximum_position_encoding=300)
+
+
+def _ar_batch(key, b=4, t_mel=21, t_text=9, mel_c=12, spk_d=16):
+    ks = jax.random.split(key, 3)
+    mel = jax.random.normal(ks[0], (b, t_mel, mel_c)) * 0.5
+    mel = mel.at[:, 0, :].set(0.5).at[:, -1, :].set(-0.5)
+    phonemes = jax.random.randint(ks[1], (b, t_text), 1, 40)
+    stop = jnp.ones((b, t_mel), jnp.int32).at[:, -1].set(2)
+    spk = jax.random.normal(ks[2], (b, spk_d))
+    return mel, phonemes, stop, spk
+
+
+class TestForwardTraining:
+    def test_loss_decreases(self):
+        model = ForwardTransformer(**TINY)
+        key = jax.random.PRNGKey(0)
+        mel = jax.random.normal(key, (2, 20, 12))
+        phon = jax.random.randint(key, (2, 10), 1, 40)
+        durs = jnp.full((2, 10), 2.0)
+        variables = model.init(
+            {"params": key, "dropout": key, "prenet": key},
+            phon, durs[..., None], max_frames=20)
+        tx = make_optimizer([[0, 1e-3]])
+        state = TrainState.create(variables, tx)
+        step = make_forward_train_step(model, tx, max_frames=20)
+        losses = []
+        for i in range(15):
+            state, m = step(state, (mel, phon, durs),
+                            jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 15
+
+
+class TestAutoregressiveTraining:
+    def _setup(self, system_type="speaker_style_text", use_style_loss=False):
+        model = AutoregressiveTransformer(
+            system_type=system_type, max_r=5,
+            encoder_prenet_dimension=32, decoder_prenet_dimension=32,
+            gst_style_embed_dim=32, gst_multi_num_heads=2,
+            ref_encoder_filters=(4, 8), ref_encoder_gru_cell_units=16,
+            **TINY)
+        key = jax.random.PRNGKey(0)
+        batch = _ar_batch(key)
+        mel, phon, stop, spk = batch
+        spk_in = spk[:, None, :] if model.has_speaker else None
+        variables = model.init(
+            {"params": key, "dropout": key, "prenet": key},
+            phon, mel[:, ::5], spk_in, r=5)
+        tx = make_optimizer([[0, 1e-3]])
+        state = TrainState.create(variables, tx)
+        step = make_autoregressive_train_step(
+            model, tx, use_style_loss=use_style_loss)
+        return model, state, step, batch, tx
+
+    def test_loss_decreases_r5(self):
+        model, state, step, batch, _ = self._setup()
+        key = jax.random.PRNGKey(1)
+        mi = jnp.zeros(())
+        losses = []
+        for i in range(12):
+            state, m, aux = step(state, batch, mi, jax.random.fold_in(key, i),
+                                 r=5, prenet_dropout=0.0)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_r_change_retraces_but_runs(self):
+        model, state, step, batch, _ = self._setup()
+        key = jax.random.PRNGKey(1)
+        for r in (5, 1):
+            state, m, aux = step(state, batch, jnp.zeros(()), key, r=r)
+            assert np.isfinite(float(m["loss"]))
+
+    def test_style_loss_branch(self):
+        model, state, step, batch, _ = self._setup(use_style_loss=True)
+        state, m, _ = step(state, batch, jnp.zeros(()), jax.random.PRNGKey(2),
+                           r=5)
+        assert float(m["style_loss"]) > 0
+
+    def test_mi_hinge_adds_constant(self):
+        model, state, step, batch, _ = self._setup()
+        key = jax.random.PRNGKey(3)
+        _, m0, _ = step(state, batch, jnp.zeros(()), key, r=5,
+                        prenet_dropout=0.0)
+        _, m1, _ = step(state, batch, jnp.asarray(2.0), key, r=5,
+                        prenet_dropout=0.0)
+        np.testing.assert_allclose(float(m1["loss"]) - float(m0["loss"]),
+                                   0.1 * 2.0, rtol=1e-4)
+
+    def test_val_step(self):
+        model, state, _, batch, _ = self._setup()
+        val = make_autoregressive_val_step(model)
+        out = val(state, batch, jax.random.PRNGKey(0), r=5)
+        assert "decoder_attention" in out
+        assert np.isfinite(float(out["tts_loss"]))
+
+    def test_joint_mine_training(self):
+        model, state, step, batch, _ = self._setup()
+        key = jax.random.PRNGKey(4)
+        mine = MINE(pair_type="style_text", divergence_type="KL",
+                    dense_hidden_units=(16,))
+        mi_state = MIState.create(mine.n_beta, weight_factor=0.1)
+        # embeddings from a first TTS pass
+        state, m, aux = step(state, batch, mi_state.mi_loss, key, r=5)
+        mine_vars = mine.init(key, aux["text_enc_output"], aux["gst_output"],
+                              batch[3][:, None, :], mi_state, key)
+        mine_tx = make_optimizer([[0, 1e-4]])
+        mine_state = TrainState.create(mine_vars, mine_tx)
+        mine_step = make_mine_update(mine, mine_tx, kind="MINE")
+        for i in range(3):
+            state, m, aux = step(state, batch, mi_state.mi_loss,
+                                 jax.random.fold_in(key, i), r=5)
+            mine_state, mi, terms = mine_step(
+                mine_state, aux["text_enc_output"], aux["gst_output"],
+                batch[3][:, None, :], mi_state, jax.random.fold_in(key, 100 + i))
+            mi_state = mi_state.replace(mi_loss=mi, exp_terms=terms)
+        assert np.isfinite(float(mi_state.mi_loss))
+
+
+class TestWaveRNNTraining:
+    def test_loss_decreases(self):
+        model = WaveRNN(rnn_dims=16, fc_dims=16, bits=4, pad=2,
+                        upsample_factors=(2, 5), feat_dims=8, compute_dims=8,
+                        res_out_dims=8, res_blocks=1, hop_length=10,
+                        sample_rate=100, mode="RAW")
+        key = jax.random.PRNGKey(0)
+        t_mel = 9
+        x = jax.random.uniform(key, (2, 50), minval=-1, maxval=1)
+        y = jax.random.randint(key, (2, 50), 0, 16)
+        mels = jax.random.normal(key, (2, t_mel, 8))
+        variables = model.init(key, x, mels, False)
+        tx = make_optimizer([[0, 3e-3]])
+        state = TrainState.create(variables, tx)
+        step = make_wavernn_train_step(model, tx)
+        losses = []
+        for i in range(10):
+            state, m = step(state, (x, y, mels), jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+
+class TestDataParallel:
+    def test_eight_device_mesh_matches_single_device(self):
+        assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+        model = ForwardTransformer(**TINY)
+        key = jax.random.PRNGKey(0)
+        mel = jax.random.normal(key, (8, 20, 12))
+        phon = jax.random.randint(key, (8, 10), 1, 40)
+        durs = jnp.full((8, 10), 2.0)
+        variables = model.init(
+            {"params": key, "dropout": key, "prenet": key},
+            phon, durs[..., None], max_frames=20)
+        tx = make_optimizer([[0, 1e-3]])
+        step = make_forward_train_step(model, tx, max_frames=20)
+
+        # single device
+        s1 = TrainState.create(variables, tx)
+        s1, m1 = step(s1, (mel, phon, durs), key)
+
+        # 8-device data parallel
+        mesh = make_mesh(("data",))
+        s8 = replicate(TrainState.create(variables, tx), mesh)
+        batch = shard_batch((mel, phon, durs), mesh)
+        s8, m8 = step(s8, batch, key)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=2e-4)
+        # params identical after one step
+        d1 = jax.tree.leaves(s1.params)[0]
+        d8 = jax.tree.leaves(s8.params)[0]
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), atol=2e-5)
+
+    def test_schedule_interp(self):
+        f = interp_schedule([[0, 0.0], [10, 1.0]])
+        assert abs(float(f(5)) - 0.5) < 1e-6
