@@ -1,0 +1,165 @@
+"""High-level synthesis API.
+
+`TTSSynthesizer` wraps the AR model the way the reference entry points use it
+(`synthesize_sentences.py:14-55`), `VocoderSynthesizer` is the `Synthesize`
+class of `WaveRNN/synthesizer_wavernn.py:8-33`, and `TacotronSynthesizer`
+mirrors `gst_tacotron/synthesizer.py` (in-graph Griffin-Lim on the linear
+spectrogram, inverse preemphasis, endpoint trim).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.audio import AudioProcessor
+from .ops.griffin_lim import griffin_lim
+from .ops.normalizers import denormalize_db, db_to_amp, deemphasis
+from .utils.config import ConfigManager
+
+__all__ = ["TTSSynthesizer", "VocoderSynthesizer", "TacotronSynthesizer"]
+
+
+class TTSSynthesizer:
+    """AR GST-TransformerTTS text+ref-audio+speaker -> mel."""
+
+    def __init__(self, config_path, session_name=None, checkpoint=None,
+                 model_kind="autoregressive"):
+        self.cm = ConfigManager(config_path, model_kind, session_name)
+        self.config = self.cm.config
+        self.model, self.variables, self.step, sched = self.cm.load_model(
+            checkpoint)
+        self.r = sched.get("reduction_factor", 1)
+        self.prenet_dropout = sched.get("decoder_prenet_dropout", 0.5)
+        self.audio = AudioProcessor(self.config)
+        self.pipeline = self.cm.get_text_pipeline()
+
+    def encode_text(self, text: str):
+        return np.asarray(self.pipeline(text), np.int32)
+
+    def predict(self, text, ref_mel=None, spk_embed=None, max_length=1000,
+                key=None, speed_regulator=1.0):
+        if self.cm.model_kind == "forward":
+            out = self.model.apply(
+                self.variables, jnp.asarray(self.encode_text(text))[None],
+                None, max_frames=int(self.config.get("max_frames", 1280)),
+                durations_scalar=1.0 / speed_regulator,
+                rngs={"dropout": key if key is not None else jax.random.PRNGKey(0),
+                      "prenet": key if key is not None else jax.random.PRNGKey(0)})
+            n = int(out["mel_lengths"][0])
+            return {"mel": np.asarray(out["mel"][0][:n])}
+        from .models.autoregressive import autoregressive_predict
+        inp = jnp.asarray(self.encode_text(text))[None]
+        ref = None
+        if ref_mel is not None:
+            ref = self.model.encode_ref(jnp.asarray(ref_mel), r=self.r)
+        spk = None
+        if spk_embed is not None:
+            spk = jnp.asarray(spk_embed).reshape(1, 1, -1)
+        out = autoregressive_predict(
+            self.model, self.variables, inp,
+            ref if self.model.has_style else None,
+            spk if self.model.has_speaker else None, r=self.r,
+            max_length=max_length,
+            key=key if key is not None else jax.random.PRNGKey(0),
+            prenet_dropout=self.prenet_dropout)
+        n = int(out["mel_length"])
+        return {"mel": np.asarray(out["mel"][0][:n]),
+                "gst_tokens": out.get("gst_tokens")}
+
+    def mel_from_wav(self, wav):
+        """Reference-audio wav -> normalized mel (t, n_mels)."""
+        return np.asarray(self.audio.mel_spectrogram(np.asarray(wav))).T
+
+
+class VocoderSynthesizer:
+    """Batch-folded WaveRNN vocoder (reference `synthesizer_wavernn.py`)."""
+
+    def __init__(self, config_path, session_name=None, checkpoint=None):
+        from .utils.checkpoints import CheckpointManager
+        from .utils.config import _init_variables
+        self.cm = ConfigManager(config_path, "wavernn", session_name)
+        self.config = self.cm.config
+        self.model = self.cm.get_model(ignore_hash=True)
+        variables = _init_variables(self.model, self.config, "wavernn")
+        import numpy as np
+        tree = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "step": np.int32(0)}
+        mngr = CheckpointManager(Path(checkpoint) if checkpoint
+                                 else self.cm.weights_dir)
+        restored, step = mngr.restore(tree, partial=True)
+        if step is not None:
+            tree = restored
+        self.variables = {"params": tree["params"],
+                          "batch_stats": tree["batch_stats"]}
+
+    def generate(self, mel, batched=None, target=None, overlap=None,
+                 mu_law=None, key=None):
+        """mel: (t, n_mels) in WaveRNN's [0, 1] convention -> waveform."""
+        from .models.wavernn import generate as _generate
+        c = self.config
+        return np.asarray(_generate(
+            self.model, self.variables, jnp.asarray(mel)[None],
+            batched=c.get("voc_gen_batched", True) if batched is None else batched,
+            target=c.get("voc_target", 11000) if target is None else target,
+            overlap=c.get("voc_overlap", 550) if overlap is None else overlap,
+            mu_law=c.get("mu_law", True) if mu_law is None else mu_law,
+            key=key))
+
+
+class TacotronSynthesizer:
+    """GST-Tacotron text+ref-mel -> wav via linear-spectrogram Griffin-Lim
+    (gst_tacotron/synthesizer.py behavior: dB denorm + power raise +
+    Griffin-Lim + inverse preemphasis)."""
+
+    def __init__(self, config_path, session_name=None, checkpoint=None):
+        from .utils.checkpoints import CheckpointManager
+        from .utils.config import _init_variables
+        self.cm = ConfigManager(config_path, "tacotron", session_name)
+        self.config = self.cm.config
+        self.model = self.cm.get_model(ignore_hash=True)
+        variables = _init_variables(self.model, self.config, "tacotron")
+        import numpy as np
+        tree = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "step": np.int32(0)}
+        mngr = CheckpointManager(Path(checkpoint) if checkpoint
+                                 else self.cm.weights_dir)
+        restored, step = mngr.restore(tree, partial=True)
+        if step is not None:
+            tree = restored
+        self.variables = {"params": tree["params"],
+                          "batch_stats": tree["batch_stats"]}
+
+    def synthesize(self, text, reference_mel=None, key=None):
+        from .text import text_to_sequence
+        from .models.tacotron import Tacotron
+        c = self.config
+        seq = np.asarray(text_to_sequence(
+            text, [c.get("cleaners", "english_cleaners")]), np.int32)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        rngs = {"prenet": key, "zoneout": jax.random.fold_in(key, 1),
+                "dropout": jax.random.fold_in(key, 2),
+                "style": jax.random.fold_in(key, 3)}
+        ref = (jnp.asarray(reference_mel)[None]
+               if reference_mel is not None else None)
+        out = self.model.apply(self.variables, jnp.asarray(seq)[None],
+                               jnp.asarray([len(seq)]), ref,
+                               method=Tacotron.generate, rngs=rngs)
+        linear = np.asarray(out["linear_outputs"][0])  # (t, num_freq)
+        wav = self._inv_linear(linear)
+        return wav, np.asarray(out["alignments"][0])
+
+    def _inv_linear(self, linear):
+        c = self.config
+        S = denormalize_db(linear.T, c.get("min_level_db", -100))
+        amp = db_to_amp(S + c.get("ref_level_db", 20))
+        mag = jnp.power(jnp.asarray(amp), c.get("power", 1.5))
+        wav = griffin_lim(mag, c["n_fft"], c["hop_length"], c["win_length"],
+                          n_iter=c.get("griffin_lim_iters", 60))
+        wav = deemphasis(wav, c.get("preemphasis", 0.97))
+        return np.asarray(wav)

@@ -277,7 +277,8 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
                            inputs, ref_mel=None, spk_embed=None, *,
                            r: int = 1, max_length: int = 1000,
                            key: Optional[jax.Array] = None,
-                           prenet_dropout: float = 0.5):
+                           prenet_dropout: float = 0.5,
+                           stop_enabled: bool = True):
     """jit-compilable greedy AR decode with stop-token early exit.
 
     inputs: (b, n) token ids; ref_mel (already r-strided via
@@ -328,7 +329,8 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
         out_buf2 = jax.lax.dynamic_update_slice(out_buf, final_r, (0, i * r, 0))
         stop_logits = post["stop_prob"][:, -1]
         stopped = (jnp.argmax(stop_logits, axis=-1)
-                   == model.stop_prob_index).all()
+                   == model.stop_prob_index).all() if stop_enabled \
+            else jnp.bool_(False)
         next_input = final_r[:, -1:, :]
         return (i + 1, stopped, next_input, new_caches, lin_buf2, out_buf2,
                 jnp.where(done, length, (i + 1) * r))

@@ -284,26 +284,34 @@ class ConfigManager:
         """Build model + restore latest (or given) checkpoint. Returns
         (model, variables, step, schedule_values)."""
         import jax
+        import numpy as np
         from .checkpoints import CheckpointManager as CkptMngr
         model = self.get_model()
         variables = _init_variables(model, self.config, self.model_kind)
-        mngr = CkptMngr(self.weights_dir)
-        tree = {"variables": variables, "step": 0}
+        # partial restore: params/batch_stats/step without the opt pytree
+        tree = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "step": np.int32(0)}
         if checkpoint_path is not None:
             restored, step = CkptMngr(Path(checkpoint_path).parent).restore(
-                tree, int(Path(checkpoint_path).name))
+                tree, int(Path(checkpoint_path).name), partial=True)
         else:
-            restored, step = mngr.restore(tree)
+            restored, step = CkptMngr(self.weights_dir).restore(tree,
+                                                                partial=True)
         if step is None:
             if verbose:
                 print(f"WARNING: could not find weights file in "
                       f"{self.weights_dir}. Using fresh init.")
             step = 0
         else:
-            variables = restored["variables"]
+            variables = {"params": restored["params"]}
+            if restored.get("batch_stats"):
+                variables["batch_stats"] = restored["batch_stats"]
             step = int(restored["step"])
             if verbose:
                 print(f"restored weights from {self.weights_dir} at step {step}")
+        if "batch_stats" not in variables:
+            variables["batch_stats"] = {}
         return model, variables, step, self.schedule_values(step)
 
 

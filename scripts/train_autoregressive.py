@@ -1,0 +1,236 @@
+"""Joint AR-TTS + MINE training driver.
+
+Re-implements `TransformerTTS/train_autoregressive.py`: seeded setup, MINE net
+zoo per pair type (MINE/CLUB/MINE_CLUB x pairs, :69-102), carried MI state
+(:103-108), checkpoint restore for the TTS and every MINE net (:114-125), twin
+datasets (TTS batch + scheduled MINE batch, :190-199), main loop applying the
+lr/prenet-dropout/reduction-factor/head-drop schedules, TensorBoard summaries,
+periodic checkpoints, and periodic AR prediction with Griffin-Lim audio
+(:218-335). Data-parallel over all local devices via a 1-D mesh.
+"""
+import argparse
+
+import _bootstrap  # noqa: F401
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import tqdm
+
+from etts.data import Dataset, DataPrepper, load_files
+from etts.models.autoregressive import autoregressive_predict, AutoregressiveTransformer
+from etts.models.mine import MINE, CLUB, MIState
+from etts.parallel import make_mesh, shard_batch, replicate
+from etts.train import (TrainState, make_optimizer,
+                        make_autoregressive_train_step, make_mine_update)
+from etts.utils import ConfigManager, CheckpointManager
+from etts.utils.logging import SummaryManager
+from etts.utils.scheduling import piecewise_linear_schedule, reduction_schedule
+
+
+def build_mine_zoo(config, key, text_dim, style_dim, spk_dim):
+    """MINE/CLUB nets per pair type (`train_autoregressive.py:69-102`)."""
+    nets = []
+    mine_type = config.get("mine_type", "MINE")
+    for pair in config["mine_pair_types"]:
+        if mine_type in ("MINE", "MINE_CLUB"):
+            nets.append(("MINE", MINE(pair_type=pair,
+                                      divergence_type=config["divergence_type"],
+                                      beta_values=tuple(config["mine_beta_values"]),
+                                      dense_hidden_units=tuple(
+                                          config["mine_dense_hidden_units"]),
+                                      conv_filters=tuple(config["mine_conv_filters"]),
+                                      conv_kernel=config["mine_conv_kernel"])))
+        if mine_type in ("CLUB", "MINE_CLUB"):
+            nets.append(("CLUB", CLUB(pair_type=pair,
+                                      dense_hidden_units=tuple(
+                                          config["mine_dense_hidden_units"]))))
+    return nets
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True,
+                        help="dir with data_config.yaml + autoregressive_config.yaml")
+    parser.add_argument("--session_name", type=str, default=None)
+    parser.add_argument("--reset_dir", action="store_true")
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--force", action="store_true",
+                        help="skip interactive dir-reset prompts")
+    args = parser.parse_args()
+
+    np.random.seed(42)
+    cm = ConfigManager(args.config, "autoregressive", args.session_name)
+    config = cm.config
+    cm.create_remove_dirs(clear_dir=args.reset_dir, force=args.force)
+    cm.dump_config()
+    cm.print_config()
+
+    model = cm.get_model(ignore_hash=True)
+    pipeline = cm.get_text_pipeline()
+    key = jax.random.PRNGKey(42)
+
+    # datasets ---------------------------------------------------------------
+    train_meta = cm.train_datadir / "train_metafile.txt"
+    spk_dir = (cm.train_datadir / "spk_embeds"
+               if model.has_speaker else None)
+    if spk_dir is not None and not spk_dir.exists():
+        spk_dir = None
+    samples, _ = load_files(train_meta, cm.train_datadir / "mels", spk_dir,
+                            config.get("n_samples"))
+    prepper = DataPrepper(config, pipeline.tokenizer)
+    tts_batch = config.get("tts_batch_size", 8)
+    dataset = Dataset(samples, prepper, tts_batch, mel_channels=config["mel_channels"])
+    mine_dataset = None
+    if config.get("use_mine"):
+        mine_bs = reduction_schedule(0, config["mine_batch_size_schedule"])
+        mine_dataset = Dataset(samples, prepper, mine_bs,
+                               mel_channels=config["mel_channels"], seed=43)
+
+    # model/optimizer state ----------------------------------------------------
+    from etts.utils.config import _init_variables
+    variables = _init_variables(model, config, "autoregressive")
+    frozen_mask = None
+    if config.get("use_pretrained"):
+        # freeze the text encoder subtree (transplant freeze, :136-169)
+        frozen_mask = jax.tree.map(lambda _: False, variables["params"])
+        for name in ("TextEncoder", "TextEmbedding"):
+            if name in frozen_mask:
+                frozen_mask[name] = jax.tree.map(lambda _: True,
+                                                 frozen_mask[name])
+    tx = make_optimizer(config["learning_rate_tts_schedule"],
+                        frozen_mask=frozen_mask)
+    state = TrainState.create(variables, tx)
+
+    ckpt = CheckpointManager(cm.weights_dir,
+                             max_to_keep=config.get("keep_n_weights"))
+    state, rstep = ckpt.restore_state(state)
+    if rstep is not None:
+        print(f"restored TTS weights at step {rstep}")
+
+    # MINE zoo -----------------------------------------------------------------
+    mine_nets, mine_states, mine_steps, mine_ckpts = [], [], [], []
+    mi_state = MIState.create(
+        n_beta=len(config.get("mine_beta_values", [0])),
+        smoothing_factor=config.get("mine_smoothing_factor", 1.0),
+        weight_factor=config.get("mine_weight_factor", 0.1))
+    if config.get("use_mine"):
+        dummy_text = jnp.zeros((4, 8, config["encoder_model_dimension"]))
+        dummy_style = jnp.zeros((4, 1, config["gst_style_embed_dim"]))
+        dummy_spk = jnp.zeros((4, 1, 256))
+        mine_tx = make_optimizer(config["learning_rate_mine_schedule"])
+        mine_nets = build_mine_zoo(config, key, None, None, None)
+        for i, (kind, net) in enumerate(mine_nets):
+            vars_i = net.init(jax.random.fold_in(key, 100 + i), dummy_text,
+                              dummy_style, dummy_spk, mi_state, key)
+            st = TrainState.create(vars_i, mine_tx)
+            mngr = CheckpointManager(cm.mine_weights_dir[i])
+            st, rs = mngr.restore_state(st)
+            mine_states.append(st)
+            mine_steps.append(make_mine_update(net, mine_tx, kind=kind))
+            mine_ckpts.append(mngr)
+
+    # train step ---------------------------------------------------------------
+    train_step = make_autoregressive_train_step(
+        model, tx,
+        stop_scaling=config.get("stop_loss_scaling", 1.0),
+        use_style_loss=config.get("use_style_loss", False),
+        mi_weight_factor=config.get("mine_weight_factor", 0.1),
+        train_text_encoder=config.get("train_text_encoder", True),
+        train_style_encoder=config.get("train_style_encoder", True),
+        train_decoder=config.get("train_decoder", True))
+
+    mesh = make_mesh(("data",)) if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    summary = SummaryManager(model, cm.log_dir, config)
+    max_steps = args.max_steps or config["max_steps"]
+    start_step = int(state.step)
+
+    t = tqdm.trange(start_step, max_steps, initial=start_step, total=max_steps)
+    for step in t:
+        batch = dataset.next_batch()
+        r = reduction_schedule(step, config["reduction_factor_schedule"])
+        drop_n = reduction_schedule(step, config["head_drop_schedule"])
+        prenet_dropout = piecewise_linear_schedule(
+            step, config["decoder_prenet_dropout_schedule"])
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, metrics, aux = train_step(
+            state, batch, mi_state.mi_loss, jax.random.fold_in(key, step),
+            r=r, prenet_dropout=prenet_dropout, drop_n_heads=drop_n)
+
+        if config.get("use_mine"):
+            if config.get("mine_sep_call"):
+                mb = mine_dataset.next_batch()
+                mel, phon, stop, spk = mb
+                spk_in = spk[:, None, :] if model.has_speaker else None
+                tar_mel = mel[:, :-1][:, ::r]
+                enc = model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    jnp.asarray(phon), jnp.asarray(tar_mel), spk_in,
+                    True, True, drop_n,
+                    method=AutoregressiveTransformer.encode,
+                    rngs={"dropout": jax.random.fold_in(key, step + 1),
+                          "prenet": jax.random.fold_in(key, step + 2)},
+                    mutable=["batch_stats"])[0]
+                text_out, gst_out = enc[6], enc[5]
+                spk_for_mine = spk_in
+            else:
+                text_out, gst_out = aux["text_enc_output"], aux["gst_output"]
+                spk_for_mine = (batch[3][:, None, :] if model.has_speaker
+                                else jnp.zeros((text_out.shape[0], 1, 1)))
+            mi_total = jnp.zeros(())
+            terms = mi_state.exp_terms
+            for i, step_fn in enumerate(mine_steps):
+                mine_states[i], mi, terms = step_fn(
+                    mine_states[i], text_out, gst_out, spk_for_mine, mi_state,
+                    jax.random.fold_in(key, 7919 * (step + 1) + i))
+                mi_total = mi_total + mi
+                summary.add_scalar(f"mi/{mine_nets[i][0]}_{i}", float(mi),
+                                   step=step)
+            mi_state = mi_state.replace(mi_loss=mi_total, exp_terms=terms)
+            # MINE batch size schedule
+            new_bs = reduction_schedule(step, config["mine_batch_size_schedule"])
+            if mine_dataset is not None and new_bs != mine_dataset.batch_size:
+                mine_dataset.change_batches(new_bs)
+
+        t.set_postfix(loss=float(metrics["loss"]))
+        summary.add_scalar("train/loss", float(metrics["loss"]), step=step)
+        for k, v in metrics["losses"].items():
+            summary.add_scalar(f"train/{k}", float(v), step=step)
+        summary.add_scalar("meta/reduction_factor", r, step=step)
+        summary.add_scalar("meta/prenet_dropout", prenet_dropout, step=step)
+
+        if (step + 1) % config["weights_save_frequency"] == 0 or step + 1 == max_steps:
+            ckpt.save_state(step + 1, state)
+            for i, mngr in enumerate(mine_ckpts):
+                mngr.save_state(step + 1, mine_states[i])
+
+        if (step + 1) % config["prediction_frequency"] == 0 and \
+                (step + 1) >= config.get("prediction_start_step", 0):
+            mel, phon, stop, spk = jax.device_get(batch)
+            ref = model.encode_ref(jnp.asarray(mel[0]), r=r)
+            spk_in = (jnp.asarray(spk[0])[None, None, :]
+                      if model.has_speaker else None)
+            out = autoregressive_predict(
+                model, {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)},
+                jnp.asarray(phon[:1]), ref if model.has_style else None,
+                spk_in, r=r, max_length=min(mel.shape[1] * 2, 1000),
+                key=jax.random.fold_in(key, step),
+                prenet_dropout=prenet_dropout)
+            pred_mel = np.asarray(out["mel"][0][: int(out["mel_length"])])
+            summary.display_mel(pred_mel, tag="prediction/mel", step=step)
+            if (step + 1) >= config.get("audio_start_step", 0) and \
+                    (step + 1) % config.get("audio_prediction_frequency",
+                                            10 ** 9) == 0:
+                summary.display_audio("prediction/audio", pred_mel, step=step)
+
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()

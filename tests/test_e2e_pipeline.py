@@ -1,0 +1,207 @@
+"""End-to-end smoke: synthetic wavs -> dataset builder -> ConfigManager ->
+AR training steps -> checkpoint save/restore -> duration extraction ->
+synthesis API. Exercises the same wiring as the CLI drivers on a tiny config."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+SR = 16000
+
+TINY_ARCH = dict(
+    system_type="style_text",
+    decoder_model_dimension=32, encoder_model_dimension=32,
+    decoder_num_heads=[2, 2], encoder_num_heads=[2, 2],
+    encoder_feed_forward_dimension=64, decoder_feed_forward_dimension=64,
+    decoder_prenet_dimension=32, encoder_prenet_dimension=32,
+    encoder_attention_conv_filters=32, decoder_attention_conv_filters=32,
+    encoder_attention_conv_kernel=3, decoder_attention_conv_kernel=3,
+    encoder_max_position_encoding=200, decoder_max_position_encoding=2000,
+    postnet_conv_filters=32, postnet_conv_layers=2, postnet_kernel_size=3,
+    encoder_dense_blocks=2, decoder_dense_blocks=2,
+    ref_encoder_filters=[4, 8], ref_encoder_kernel_size=3,
+    ref_encoder_strides=2, ref_encoder_gru_cell_units=16,
+    gst_style_embed_dim=32, gst_multi_num_heads=2, gst_heads=4,
+    use_style_loss=False, use_mine=False, use_pretrained=False,
+    train_text_encoder=True, train_style_encoder=True, train_decoder=True,
+    mine_sep_call=False, mine_type="MINE",
+    mine_pair_types=["style_text"], divergence_type="KL",
+    mine_beta_values=[0, 0.5, 1], mine_conv_filters=[2], mine_conv_kernel=5,
+    mine_dense_hidden_units=[16],
+    learning_rate_mine_schedule=[[0, 1.0e-4]],
+    mine_batch_size_schedule=[[0, 4]],
+    mine_smoothing_factor=1, mine_weight_factor=0.1,
+    stop_loss_scaling=8, dropout_rate=0.1,
+    decoder_prenet_dropout_schedule=[[0, 0.0]],
+    learning_rate_tts_schedule=[[0, 1.0e-4]],
+    head_drop_schedule=[[0, 0]],
+    reduction_factor_schedule=[[0, 1]],
+    max_steps=4, tts_batch_size=2, debug=False, with_stress=False,
+    prediction_frequency=1000, weights_save_frequency=2,
+    train_images_plotting_frequency=1000, keep_n_weights=2,
+    keep_checkpoint_every_n_hours=12, n_steps_avg_losses=[2],
+    n_predictions=1, prediction_start_step=1000, audio_start_step=100000,
+    audio_prediction_frequency=100000,
+)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = root / "data"
+    wav_dir = data_dir / "wavs"
+    wav_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    texts = ["hello world", "testing speech", "one two three",
+             "a longer sentence here", "short"]
+    lines = []
+    from etts.data.audio_io import save_wav
+    for i, tx in enumerate(texts):
+        dur = 0.3 + 0.1 * i
+        t = np.arange(int(SR * dur)) / SR
+        y = 0.3 * np.sin(2 * np.pi * (120 + 30 * i) * t) \
+            + 0.01 * rng.standard_normal(len(t))
+        save_wav(y, wav_dir / f"utt{i}.wav", SR)
+        lines.append(f"utt{i}|{tx}\n")
+    (data_dir / "metadata.csv").write_text("".join(lines))
+
+    config_dir = root / "config"
+    config_dir.mkdir()
+    data_cfg = dict(
+        data_directory=str(data_dir), log_directory=str(root / "ckpt"),
+        train_data_directory=None, wav_subdir_name="wavs",
+        metadata_filename="metadata.csv", session_name="testsess",
+        text_path=str(root / "nonexistent"),
+        style_audio_path=str(root / "styles"), style_types=["question"],
+        speaker_audio_path="", speaker_types=[],
+        n_samples=100000, n_test=1, mel_start_value=0.5, mel_end_value=-0.5,
+        sampling_rate=SR, n_fft=2048, mel_channels=80, hop_length=200,
+        win_length=800, f_min=40, f_max=None, normalizer="WaveRNN",
+        phoneme_language="en", use_stress=False)
+    with open(config_dir / "data_config.yaml", "w") as f:
+        yaml.safe_dump(data_cfg, f)
+    with open(config_dir / "autoregressive_config.yaml", "w") as f:
+        yaml.safe_dump(TINY_ARCH, f)
+    fwd = {k: v for k, v in TINY_ARCH.items()
+           if not k.startswith(("ref_encoder", "gst", "mine", "system",
+                                "use_", "train_", "stop_loss",
+                                "reduction_factor"))}
+    fwd["max_frames"] = 64
+    with open(config_dir / "forward_config.yaml", "w") as f:
+        yaml.safe_dump(fwd, f)
+    return root, data_dir, config_dir
+
+
+def test_full_pipeline(workspace):
+    root, data_dir, config_dir = workspace
+
+    # 1. offline dataset build (grapheme phonemizer: no espeak in CI)
+    from etts.data.builders import build_tts_dataset
+    with open(config_dir / "data_config.yaml") as f:
+        dc = yaml.safe_load(f)
+    build_tts_dataset(dc, phonemizer_backend="grapheme", progress=False)
+    assert (data_dir / "train_metafile.txt").exists()
+    mels = list((data_dir / "mels").glob("*.npy"))
+    assert len(mels) == 5
+    m = np.load(mels[0])
+    assert m.shape[1] == 80 and -4.01 <= m.min() and m.max() <= 4.01
+
+    # 2. config manager + model/training wiring
+    from etts.utils import ConfigManager
+    from etts.utils.config import _init_variables
+    from etts.data import Dataset, DataPrepper, load_files
+    from etts.train import (TrainState, make_optimizer,
+                            make_autoregressive_train_step,
+                            make_autoregressive_val_step)
+    cm = ConfigManager(str(config_dir), "autoregressive")
+    cm.create_remove_dirs(force=True)
+    cm.dump_config()
+    assert (cm.base_dir / "data_config.yaml").exists()
+    model = cm.get_model(ignore_hash=True)
+    pipeline = cm.get_text_pipeline(backend="grapheme")
+
+    samples, _ = load_files(cm.train_datadir / "train_metafile.txt",
+                            cm.train_datadir / "mels", None)
+    assert len(samples) >= 3
+    prepper = DataPrepper(cm.config, pipeline.tokenizer)
+    ds = Dataset(samples, prepper, batch_size=2, mel_channels=80,
+                 pad_mel_multiple=16)
+    variables = _init_variables(model, cm.config, "autoregressive")
+    tx = make_optimizer(cm.config["learning_rate_tts_schedule"])
+    state = TrainState.create(variables, tx)
+    step_fn = make_autoregressive_train_step(model, tx)
+    key = jax.random.PRNGKey(0)
+    for i in range(2):
+        batch = ds.next_batch()
+        state, metrics, aux = step_fn(state, batch, jnp.zeros(()),
+                                      jax.random.fold_in(key, i), r=1,
+                                      prenet_dropout=0.0)
+        assert np.isfinite(float(metrics["loss"]))
+
+    # 3. checkpoint round trip
+    from etts.utils import CheckpointManager
+    mngr = CheckpointManager(cm.weights_dir)
+    mngr.save_state(2, state)
+    fresh = TrainState.create(variables, tx)
+    restored, rstep = mngr.restore_state(fresh)
+    assert rstep == 2
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+    # 4. duration extraction on the trained-ish model (r=1)
+    from etts.align import get_durations_from_alignment
+    val_step = make_autoregressive_val_step(model)
+    batch = ds.next_batch()
+    out = val_step(state, batch, key, r=1)
+    last_key = sorted(out["decoder_attention"].keys())[-1]
+    attn = np.asarray(out["decoder_attention"][last_key])
+    durs, un_mels, un_phons, _ = get_durations_from_alignment(
+        attn, np.asarray(batch[0]), np.asarray(batch[1]), fill_gaps=True)
+    for i, d in enumerate(durs):
+        mel_len = int((np.abs(np.asarray(batch[0][i])).sum(-1) != 0).sum())
+        assert d.sum() == mel_len - 2
+
+    # 5. forward-model data + one forward train step from the triples
+    from etts.models.forward import ForwardTransformer
+    from etts.train import make_forward_train_step
+    fwd_cm = ConfigManager(str(config_dir), "forward")
+    fwd_model = fwd_cm.get_model(ignore_hash=True)
+    fv = _init_variables(fwd_model, fwd_cm.config, "forward")
+    ftx = make_optimizer([[0, 1e-4]])
+    fstate = TrainState.create(fv, ftx)
+    fstep = make_forward_train_step(fwd_model, ftx, max_frames=64)
+    # build a batch from extraction output
+    n = min(len(durs), 2)
+    mel_b = np.zeros((n, 64, 80), np.float32)
+    phon_b = np.zeros((n, 16), np.int32)
+    dur_b = np.zeros((n, 16), np.float32)
+    for i in range(n):
+        t = min(64, un_mels[i].shape[0])
+        mel_b[i, :t] = un_mels[i][:t]
+        k = min(16, len(un_phons[i]))
+        phon_b[i, :k] = un_phons[i][:k]
+        dur_b[i, :k] = durs[i][:k]
+    fstate, fmetrics = fstep(fstate, (mel_b, phon_b, dur_b), key)
+    assert np.isfinite(float(fmetrics["loss"]))
+
+    # 6. synthesis API end to end (predict + Griffin-Lim)
+    from etts.api import TTSSynthesizer
+    tts = TTSSynthesizer(str(config_dir))
+    assert tts.step == 2  # picked up the checkpoint
+    ref_mel = np.asarray(np.load(mels[0]))
+    out = tts.predict("hello there", ref_mel=ref_mel, max_length=20,
+                      key=jax.random.PRNGKey(0))
+    assert out["mel"].shape[1] == 80 and out["mel"].shape[0] > 0
+    # untrained models may stop after one frame; pad for Griffin-Lim
+    mel_for_gl = out["mel"]
+    if mel_for_gl.shape[0] < 16:
+        mel_for_gl = np.pad(mel_for_gl, ((0, 16 - mel_for_gl.shape[0]), (0, 0)),
+                            constant_values=-4.0)
+    wav = np.asarray(tts.audio.reconstruct_waveform(mel_for_gl.T, n_iter=2))
+    assert np.isfinite(wav).all()
