@@ -353,6 +353,23 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
 
     B, T, _ = mels_up.shape
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas import wavernn_sample_loop, pallas_available
+        if pallas_available:
+            seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+            samples_tb = wavernn_sample_loop(
+                jnp.swapaxes(i_static, 0, 1), jnp.swapaxes(gi2_static, 0, 1),
+                jnp.swapaxes(f1_static, 0, 1), jnp.swapaxes(f2_static, 0, 1),
+                I_x, r1["wi"], r1["wh"], r1["bi"], r1["bh"],
+                W2_x, r2["wh"], r2["bh"],
+                Wf1[:d], Wf2[:model.fc_dims], Wf3, bf3, seed,
+                mode=model.mode, n_classes=model.n_classes)
+            output = jnp.swapaxes(samples_tb, 0, 1)  # (B, T)
+            return _finalize(output, batched, overlap, mu_law, model,
+                             wave_len)
+
     def step(carry, xs):
         h1, h2, x_prev, k = carry
         i_t, gi2_t, f1_t, f2_t = xs
@@ -390,11 +407,13 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
           jnp.swapaxes(f1_static, 0, 1), jnp.swapaxes(f2_static, 0, 1))
     _, samples = jax.lax.scan(step, init, xs)
     output = jnp.swapaxes(samples, 0, 1)  # (B, T)
+    return _finalize(output, batched, overlap, mu_law, model, wave_len)
 
+
+def _finalize(output, batched, overlap, mu_law, model, wave_len):
+    """Unfold + mu-law decode + 20-hop fade-out (fatchord :226-237)."""
     if batched:
-        output = xfade_and_unfold(output.astype(jnp.float64)
-                                  if output.dtype == jnp.float64 else output,
-                                  overlap)
+        output = xfade_and_unfold(output, overlap)
     else:
         output = output[0]
     if mu_law:

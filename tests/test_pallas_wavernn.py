@@ -1,0 +1,132 @@
+"""Pallas WaveRNN kernel validated in interpreter mode against the lax.scan
+cell math (deterministic parts) and for distributional sanity (sampling)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etts.ops.pallas.wavernn_cell import wavernn_sample_loop, pallas_available
+
+pytestmark = pytest.mark.skipif(not pallas_available,
+                                reason="pallas not importable")
+
+D, FC, B, T = 16, 16, 8, 12
+
+
+def _weights(key, n_out):
+    ks = jax.random.split(key, 12)
+    s = 0.1
+    return dict(
+        ix=jax.random.normal(ks[0], (1, D)) * s,
+        wi1=jax.random.normal(ks[1], (D, 3 * D)) * s,
+        wh1=jax.random.normal(ks[2], (D, 3 * D)) * s,
+        bi1=jax.random.normal(ks[3], (3 * D,)) * s,
+        bh1=jax.random.normal(ks[4], (3 * D,)) * s,
+        w2x=jax.random.normal(ks[5], (D, 3 * D)) * s,
+        wh2=jax.random.normal(ks[6], (D, 3 * D)) * s,
+        bh2=jax.random.normal(ks[7], (3 * D,)) * s,
+        wf1x=jax.random.normal(ks[8], (D, FC)) * s,
+        wf2x=jax.random.normal(ks[9], (FC, FC)) * s,
+        wf3=jax.random.normal(ks[10], (FC, n_out)) * s,
+        bf3=jax.random.normal(ks[11], (n_out,)) * s,
+    )
+
+
+def _streams(key):
+    ks = jax.random.split(key, 4)
+    return (jax.random.normal(ks[0], (T, B, D)) * 0.1,
+            jax.random.normal(ks[1], (T, B, 3 * D)) * 0.1,
+            jax.random.normal(ks[2], (T, B, FC)) * 0.1,
+            jax.random.normal(ks[3], (T, B, FC)) * 0.1)
+
+
+def _scan_reference(streams, w, sample_fn):
+    """Pure-jnp replication of the kernel's deterministic recurrence, with an
+    injected sampling function so we can compare the pre-sample logits."""
+    i_s, gi2_s, f1_s, f2_s = streams
+    d = D
+    h1 = jnp.zeros((B, d))
+    h2 = jnp.zeros((B, d))
+    x_prev = jnp.zeros((B, 1))
+    logits_all = []
+    for t in range(T):
+        inp = i_s[t] + x_prev * w["ix"][0][None, :]
+        gi1 = inp @ w["wi1"] + w["bi1"]
+        gh1 = h1 @ w["wh1"] + w["bh1"]
+        r = jax.nn.sigmoid(gi1[:, :d] + gh1[:, :d])
+        z = jax.nn.sigmoid(gi1[:, d:2 * d] + gh1[:, d:2 * d])
+        n = jnp.tanh(gi1[:, 2 * d:] + r * gh1[:, 2 * d:])
+        h1 = (1 - z) * n + z * h1
+        x = inp + h1
+        gi2 = x @ w["w2x"] + gi2_s[t]
+        gh2 = h2 @ w["wh2"] + w["bh2"]
+        r = jax.nn.sigmoid(gi2[:, :d] + gh2[:, :d])
+        z = jax.nn.sigmoid(gi2[:, d:2 * d] + gh2[:, d:2 * d])
+        n = jnp.tanh(gi2[:, 2 * d:] + r * gh2[:, 2 * d:])
+        h2 = (1 - z) * n + z * h2
+        x = x + h2
+        y = jax.nn.relu(x @ w["wf1x"] + f1_s[t])
+        y = jax.nn.relu(y @ w["wf2x"] + f2_s[t])
+        logits = y @ w["wf3"] + w["bf3"]
+        logits_all.append(logits)
+        x_prev = sample_fn(logits)
+    return jnp.stack(logits_all)
+
+
+class TestKernelInterpret:
+    def test_raw_mode_deterministic_path(self):
+        """With a near-delta categorical (huge logit scale), sampling is
+        deterministic, so kernel output must match the scan reference."""
+        key = jax.random.PRNGKey(0)
+        n_classes = 16
+        w = _weights(key, n_classes)
+        w["wf3"] = w["wf3"] * 100.0  # peaky logits -> argmax sampling
+        streams = _streams(jax.random.fold_in(key, 1))
+
+        def sample_fn(logits):
+            cls = jnp.argmax(logits, -1).astype(jnp.float32)
+            return (2.0 * cls / (n_classes - 1.0) - 1.0)[:, None]
+
+        logits_ref = _scan_reference(streams, w, sample_fn)
+        want = 2.0 * jnp.argmax(logits_ref, -1) / (n_classes - 1.0) - 1.0
+
+        got = wavernn_sample_loop(
+            *streams, w["ix"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["wh2"], w["bh2"], w["wf1x"], w["wf2x"], w["wf3"],
+            w["bf3"], seed=3, mode="RAW", n_classes=n_classes, chunk=4,
+            interpret=True, weight_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_mol_mode_runs_and_bounded(self):
+        key = jax.random.PRNGKey(2)
+        w = _weights(key, 30)
+        streams = _streams(jax.random.fold_in(key, 3))
+        got = wavernn_sample_loop(
+            *streams, w["ix"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["wh2"], w["bh2"], w["wf1x"], w["wf2x"], w["wf3"],
+            w["bf3"], seed=5, mode="MOL", chunk=4, interpret=True,
+            weight_dtype=jnp.float32)
+        arr = np.asarray(got)
+        assert arr.shape == (T, B)
+        assert np.isfinite(arr).all()
+        assert np.abs(arr).max() <= 1.0 + 1e-6
+
+    def test_mol_concentrated_means(self):
+        """Force all mixture means to a constant and tiny scales: samples must
+        land on that constant regardless of mixture choice."""
+        key = jax.random.PRNGKey(4)
+        w = _weights(key, 30)
+        # zero weights into fc3; bias sets mixture params directly
+        w["wf3"] = jnp.zeros_like(w["wf3"])
+        bf3 = np.zeros(30, np.float32)
+        bf3[10:20] = 0.5     # means
+        bf3[20:30] = -8.0    # log scales (tiny)
+        w["bf3"] = jnp.asarray(bf3)
+        streams = _streams(jax.random.fold_in(key, 5))
+        got = wavernn_sample_loop(
+            *streams, w["ix"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["wh2"], w["bh2"], w["wf1x"], w["wf2x"], w["wf3"],
+            w["bf3"], seed=7, mode="MOL", chunk=4, interpret=True,
+            weight_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), 0.5, atol=0.02)
