@@ -108,7 +108,8 @@ class Dataset:
                  shuffle=True, drop_remainder=True, mel_channels=80, seed=42,
                  pad_text_multiple: Optional[int] = 8,
                  pad_mel_multiple: Optional[int] = 32,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 bucket_by_length: bool = False, bucket_groups: int = 32):
         self._random = Random(seed)
         self._samples = list(samples)[shard_index::num_shards]
         self.preprocessor = preprocessor
@@ -118,6 +119,11 @@ class Dataset:
         self.mel_channels = mel_channels
         self.pad_text_multiple = pad_text_multiple
         self.pad_mel_multiple = pad_mel_multiple
+        # length bucketing: sort groups of batch_size*bucket_groups items by
+        # output length, batch within a group, shuffle batch order
+        # (datafeeder.py:87-92 / BinnedLengthSampler, dataset.py:189-218)
+        self.bucket_by_length = bucket_by_length
+        self.bucket_groups = bucket_groups
         self.data_iter = self._infinite_iter()
 
     def __len__(self):
@@ -143,6 +149,9 @@ class Dataset:
         samples = self._samples[:]
         if self.shuffle:
             self._random.shuffle(samples)
+        if self.bucket_by_length:
+            yield from self._bucketed_epoch(samples)
+            return
         buf = []
         for s in samples:
             buf.append(self.preprocessor(s))
@@ -151,6 +160,20 @@ class Dataset:
                 buf = []
         if buf and not self.drop_remainder:
             yield self._collate(buf)
+
+    def _bucketed_epoch(self, samples):
+        group_n = self.batch_size * self.bucket_groups
+        for g in range(0, len(samples), group_n):
+            items = [self.preprocessor(s) for s in samples[g:g + group_n]]
+            items.sort(key=lambda it: it[0].shape[0])  # by mel length
+            batches = [items[i:i + self.batch_size]
+                       for i in range(0, len(items), self.batch_size)]
+            if self.drop_remainder and batches and \
+                    len(batches[-1]) < self.batch_size:
+                batches = batches[:-1]
+            self._random.shuffle(batches)
+            for b in batches:
+                yield self._collate(b)
 
     def _infinite_iter(self):
         while True:

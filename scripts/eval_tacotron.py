@@ -1,0 +1,63 @@
+"""Tacotron synthesis CLI (reference `gst_tacotron/eval.py` +
+`synthesize_sentences.py` behavior): text (+optional reference wav) -> wav via
+the linear-spectrogram Griffin-Lim head, with endpoint trimming and alignment
+plot."""
+import argparse
+from pathlib import Path
+
+import _bootstrap  # noqa: F401
+
+import numpy as np
+
+SENTENCES = [
+    "Scientists at the CERN laboratory say they have discovered a new particle.",
+    "There's a way to measure the acute emotional intelligence that has never gone out of style.",
+    "President Trump met with other leaders at the Group of Twenty conference.",
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--session_name", type=str, default=None)
+    parser.add_argument("--sentences", type=str, nargs="*", default=None)
+    parser.add_argument("--reference_audio", type=str, default=None)
+    parser.add_argument("--out_dir", type=str, default="taco_out")
+    args = parser.parse_args()
+
+    from etts.api import TacotronSynthesizer
+    from etts.data.audio_io import load_wav, save_wav
+    from etts.data.taco_builders import taco_linear_and_mel, find_endpoint
+
+    synth = TacotronSynthesizer(args.config, args.session_name)
+    sr = synth.config["sampling_rate"]
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    ref_mel = None
+    if args.reference_audio:
+        y, _ = load_wav(args.reference_audio, sr)
+        _, ref_mel = taco_linear_and_mel(y, synth.config)
+
+    for i, text in enumerate(args.sentences or SENTENCES):
+        print(f"[{i}] {text!r}")
+        wav, alignment = synth.synthesize(text, reference_mel=ref_mel)
+        wav = np.asarray(wav)[:find_endpoint(np.asarray(wav), sr)]
+        save_wav(wav, out_dir / f"eval_{i}.wav", sr)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.figure(figsize=(8, 4))
+            plt.imshow(alignment.T, aspect="auto", origin="lower")
+            plt.xlabel("decoder step")
+            plt.ylabel("encoder step")
+            plt.savefig(out_dir / f"eval_{i}_align.png", dpi=120)
+            plt.close()
+        except Exception:  # noqa: BLE001
+            pass
+    print(f"Wrote outputs to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
