@@ -254,6 +254,28 @@ class AutoregressiveTransformer(nn.Module):
 # Incremental AR inference
 # ---------------------------------------------------------------------------
 
+def _cross_attention_kv(model: AutoregressiveTransformer, variables,
+                        enc_output):
+    """Precompute every decoder block's cross-attention K/V from the encoder
+    output (static during decode) — saves two enc-length matmuls per block per
+    step. Returns a list of (k, v) with shape (b, heads, n_enc, depth)."""
+    params = variables["params"]["Decoder"]
+    n_dense = model.decoder_dense_blocks
+    out = []
+    for i, h in enumerate(model.decoder_num_heads):
+        name = f"CADB_{i}" if i < n_dense else f"CACB_{i - n_dense}"
+        mha = params[name]["carn"]["mha"]
+        depth = model.decoder_model_dimension // h
+        b, n, _ = enc_output.shape
+
+        def proj(w):
+            y = enc_output @ w["kernel"] + w["bias"]
+            return y.reshape(b, n, h, depth).transpose(0, 2, 1, 3)
+
+        out.append((proj(mha["wk"]), proj(mha["wv"])))
+    return out
+
+
 def _decoder_cache_spec(model: AutoregressiveTransformer, batch: int,
                         max_steps: int):
     """Zero caches for every decoder block: self-attention KV
@@ -305,6 +327,9 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
     lin_buf = jnp.zeros((b, W + max_steps * r, mel_ch), model.dtype)
     out_buf = jnp.zeros((b, max_steps * r, mel_ch), model.dtype)
     caches = _decoder_cache_spec(model, b, max_steps)
+    for entry, (ck, cv) in zip(caches, _cross_attention_kv(model, variables,
+                                                           enc_out)):
+        entry["ck"], entry["cv"] = ck, cv
     start = jnp.full((b, 1, mel_ch), model.mel_start_value, model.dtype)
 
     def cond(carry):

@@ -151,12 +151,19 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, v, k, q_in, mask, train: bool = False,
-                 drop_n_heads=0, cache=None, cache_index=None):
+                 drop_n_heads=0, cache=None, cache_index=None,
+                 kv_override=None):
         assert self.model_dim % self.num_heads == 0
-        q = nn.Dense(self.model_dim, dtype=self.dtype, name="wq")(q_in)
-        k = nn.Dense(self.model_dim, dtype=self.dtype, name="wk")(k)
-        v = nn.Dense(self.model_dim, dtype=self.dtype, name="wv")(v)
-        q, k, v = self._split(q), self._split(k), self._split(v)
+        q = self._split(nn.Dense(self.model_dim, dtype=self.dtype,
+                                 name="wq")(q_in))
+        if kv_override is not None:
+            # precomputed, already head-split K/V (cross-attention fast path)
+            k, v = kv_override
+        else:
+            k = self._split(nn.Dense(self.model_dim, dtype=self.dtype,
+                                     name="wk")(k))
+            v = self._split(nn.Dense(self.model_dim, dtype=self.dtype,
+                                     name="wv")(v))
 
         new_cache = None
         if cache is not None:
@@ -305,10 +312,12 @@ class CrossAttentionResnorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, mask, train: bool = False, drop_n_heads=0):
+    def __call__(self, q, k, v, mask, train: bool = False, drop_n_heads=0,
+                 kv_override=None):
         attn, w, _ = MultiHeadAttention(self.model_dim, self.num_heads,
                                         self.dtype, name="mha")(
-            v, k, q, mask, train=train, drop_n_heads=drop_n_heads)
+            v, k, q, mask, train=train, drop_n_heads=drop_n_heads,
+            kv_override=kv_override)
         attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             name="layernorm")(attn + q), w
@@ -325,16 +334,24 @@ class CrossAttentionDenseBlock(nn.Module):
     def __call__(self, x, enc_output, look_ahead_mask, padding_mask,
                  train: bool = False, drop_n_heads=0,
                  cache=None, cache_index=None):
-        attn1, _, new_cache = SelfAttentionResNorm(
+        kv_cache = None if cache is None else {"k": cache["k"], "v": cache["v"]}
+        cross_kv = (cache.get("ck"), cache.get("cv")) \
+            if cache is not None and "ck" in cache else None
+        attn1, _, new_kv = SelfAttentionResNorm(
             self.model_dim, self.num_heads, self.dropout_rate, self.dtype,
             name="sarn")(x, look_ahead_mask, train, drop_n_heads,
-                         cache, cache_index)
+                         kv_cache, cache_index)
         attn2, w, = CrossAttentionResnorm(
             self.model_dim, self.num_heads, self.dropout_rate, self.dtype,
             name="carn")(attn1, enc_output, enc_output, padding_mask,
-                         train, drop_n_heads)
+                         train, drop_n_heads, kv_override=cross_kv)
         out = FFNResNorm(self.model_dim, self.dense_hidden_units,
                          self.dropout_rate, self.dtype, name="ffn")(attn2, train)
+        new_cache = None
+        if cache is not None:
+            new_cache = dict(new_kv)
+            if "ck" in cache:
+                new_cache["ck"], new_cache["cv"] = cache["ck"], cache["cv"]
         return out, w, new_cache
 
 
@@ -353,6 +370,8 @@ class CrossAttentionConvBlock(nn.Module):
                  train: bool = False, drop_n_heads=0,
                  cache=None, cache_index=None):
         kv_cache = None if cache is None else {"k": cache["k"], "v": cache["v"]}
+        cross_kv = (cache.get("ck"), cache.get("cv")) \
+            if cache is not None and "ck" in cache else None
         attn1, _, new_kv = SelfAttentionResNorm(
             self.model_dim, self.num_heads, self.dropout_rate, self.dtype,
             name="sarn")(x, look_ahead_mask, train, drop_n_heads,
@@ -360,7 +379,7 @@ class CrossAttentionConvBlock(nn.Module):
         attn2, w = CrossAttentionResnorm(
             self.model_dim, self.num_heads, self.dropout_rate, self.dtype,
             name="carn")(attn1, enc_output, enc_output, padding_mask,
-                         train, drop_n_heads)
+                         train, drop_n_heads, kv_override=cross_kv)
         conv = CNNResNorm(out_size=self.model_dim, n_layers=2,
                           hidden_size=self.conv_filters,
                           kernel_size=self.kernel_size,
@@ -376,6 +395,8 @@ class CrossAttentionConvBlock(nn.Module):
         window = jnp.concatenate([cache["conv"], attn2], axis=1)
         out = conv(window, train=train)[:, -attn2.shape[1]:, :]
         new_cache = dict(new_kv, conv=window[:, attn2.shape[1]:, :])
+        if "ck" in cache:
+            new_cache["ck"], new_cache["cv"] = cache["ck"], cache["cv"]
         return out, w, new_cache
 
 

@@ -358,7 +358,7 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
     if use_pallas:
         from ..ops.pallas import wavernn_sample_loop, pallas_available
         if pallas_available:
-            seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+            seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
             samples_tb = wavernn_sample_loop(
                 jnp.swapaxes(i_static, 0, 1), jnp.swapaxes(gi2_static, 0, 1),
                 jnp.swapaxes(f1_static, 0, 1), jnp.swapaxes(f2_static, 0, 1),

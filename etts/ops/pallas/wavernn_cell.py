@@ -45,8 +45,14 @@ def _round_up(x, m):
 
 
 def _uniform_from_bits(bits):
-    """uint32 random bits -> float32 uniform in (eps, 1-eps)."""
-    u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5 / 4294967296.0
+    """uint32 random bits -> float32 uniform in (eps, 1-eps).
+
+    Mosaic has no uint32->float32 convert; use the mantissa/exponent bitcast
+    trick: (bits >> 9) | 0x3F800000 reinterpreted as float32 is uniform in
+    [1, 2)."""
+    mant = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    fbits = jax.lax.bitwise_or(mant, jnp.uint32(0x3F800000))
+    u = pltpu.bitcast(fbits, jnp.float32) - 1.0
     return jnp.clip(u, 1e-5, 1.0 - 1e-5)
 
 
