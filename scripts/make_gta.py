@@ -1,0 +1,69 @@
+"""Generate ground-truth-aligned (GTA) mels for vocoder fine-tuning.
+
+The reference's WaveRNN supports training on a `gta/` store
+(`WaveRNN/utility/dataset.py:16-30`, `train_wavernn.py --gta`) but the repo
+never shipped the generator. This script closes the loop: run the trained AR
+model teacher-forced over the dataset and write its predicted mels (converted
+to the vocoder's [0, 1] convention and (n_mels, t) layout) as
+{voc_data}/gta/<id>.npy.
+"""
+import argparse
+from pathlib import Path
+
+import _bootstrap  # noqa: F401
+
+import numpy as np
+import jax
+import tqdm
+
+from etts.data import Dataset, DataPrepper, load_files
+from etts.train import TrainState, make_optimizer, make_autoregressive_val_step
+from etts.utils import ConfigManager
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--session_name", type=str, default=None)
+    parser.add_argument("--voc_data", type=str, required=True,
+                        help="vocoder dataset dir (gta/ is created inside)")
+    parser.add_argument("--batch_size", type=int, default=16)
+    args = parser.parse_args()
+
+    cm = ConfigManager(args.config, "autoregressive", args.session_name)
+    config = cm.config
+    model, variables, step, sched = cm.load_model()
+    r = sched.get("reduction_factor", 1)
+    pipeline = cm.get_text_pipeline()
+    prepper = DataPrepper(config, pipeline.tokenizer)
+    tx = make_optimizer([[0, 1e-9]])
+    state = TrainState.create(variables, tx)
+    val_step = make_autoregressive_val_step(model)
+    key = jax.random.PRNGKey(0)
+
+    gta_dir = Path(args.voc_data) / "gta"
+    gta_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for split in ("train_metafile.txt", "test_metafile.txt"):
+        samples, _ = load_files(cm.train_datadir / split,
+                                cm.train_datadir / "mels", None)
+        ids = [Path(s[2]).stem for s in samples]
+        ds = Dataset(samples, prepper, args.batch_size, shuffle=False,
+                     drop_remainder=False, mel_channels=config["mel_channels"])
+        idx = 0
+        for batch in tqdm.tqdm(ds.all_batches(), desc=split):
+            out = val_step(state, batch, key, r=r)
+            pred = np.asarray(out["final_output"])  # (b, t, mel) in [-4, 4]
+            mel_in = np.asarray(batch[0])
+            for b in range(pred.shape[0]):
+                mel_len = int((np.abs(mel_in[b]).sum(-1) != 0).sum()) - 2
+                gta = (pred[b, :mel_len].T + 4.0) / 8.0  # (n_mels, t), [0,1]
+                np.save(gta_dir / f"{ids[idx]}.npy",
+                        gta.astype(np.float32))
+                idx += 1
+                n += 1
+    print(f"wrote {n} GTA mels to {gta_dir}")
+
+
+if __name__ == "__main__":
+    main()
