@@ -57,6 +57,8 @@ def main():
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--force", action="store_true",
                         help="skip interactive dir-reset prompts")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax profiler trace of steps 10-30")
     args = parser.parse_args()
 
     np.random.seed(42)
@@ -197,8 +199,15 @@ def main():
             if mine_dataset is not None and new_bs != mine_dataset.batch_size:
                 mine_dataset.change_batches(new_bs)
 
-        t.set_postfix(loss=float(metrics["loss"]))
-        summary.add_scalar("train/loss", float(metrics["loss"]), step=step)
+        loss_val = float(metrics["loss"])
+        t.set_postfix(loss=loss_val)
+        if np.isnan(loss_val) or loss_val > 1e4:
+            raise RuntimeError(f"Loss exploded to {loss_val} at step {step}")
+        if args.profile_dir and step == start_step + 10:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and step == start_step + 30:
+            jax.profiler.stop_trace()
+        summary.add_scalar("train/loss", loss_val, step=step)
         for k, v in metrics["losses"].items():
             summary.add_scalar(f"train/{k}", float(v), step=step)
         summary.add_scalar("meta/reduction_factor", r, step=step)

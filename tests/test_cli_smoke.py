@@ -1,0 +1,55 @@
+"""CLI smoke tests: every public entry point imports and prints --help."""
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).parent.parent
+
+SCRIPTS = [
+    "scripts/create_dataset.py",
+    "scripts/train_autoregressive.py",
+    "scripts/train_forward.py",
+    "scripts/train_wavernn.py",
+    "scripts/train_tacotron.py",
+    "scripts/extract_durations.py",
+    "scripts/eval_tacotron.py",
+    "scripts/export_gst_embeddings.py",
+    "scripts/make_gta.py",
+    "synthesize_sentences.py",
+    "synthesize_sentences_speaker.py",
+    "gen_wavernn.py",
+    "objective_measure.py",
+    "plot_scripts/plot_speaker_embeddings.py",
+]
+
+
+@pytest.mark.parametrize("script", SCRIPTS)
+def test_help_works(script):
+    out = subprocess.run(
+        [sys.executable, str(ROOT / script), "--help"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": str(ROOT)},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "usage" in out.stdout.lower()
+
+
+def test_bench_importable():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench", ROOT / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # defines main() without running it
+    assert callable(mod.main)
+
+
+def test_graft_entry_importable():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft", ROOT / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.entry) and callable(mod.dryrun_multichip)
