@@ -1,11 +1,50 @@
 """Dynamic time warping (replaces the fastdtw dependency of
-`objective_measure.py`). Exact O(nm) DP with optional Sakoe-Chiba band;
-vectorized over the inner loop."""
+`objective_measure.py`). Exact O(nm) DP; the accumulation/backtrack hot loop
+runs in the native C++ core (`native/dtw.cpp`, built on first use and loaded
+via ctypes) with a pure-numpy fallback."""
 from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
 
 import numpy as np
 
 __all__ = ["dtw_path", "dtw_distance"]
+
+_lib = None
+_lib_tried = False
+
+
+def _native_lib():
+    """Lazily build + load the C++ DTW core; None when unavailable."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        import sys
+        native_dir = Path(__file__).resolve().parents[2] / "native"
+        sys.path.insert(0, str(native_dir))
+        try:
+            from build import build_dtw  # type: ignore
+        finally:
+            sys.path.pop(0)
+        so = build_dtw()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int64)
+        lib.dtw_accumulate.argtypes = [dp, ctypes.c_int64, ctypes.c_int64, dp]
+        lib.dtw_accumulate.restype = None
+        lib.dtw_backtrack.argtypes = [dp, ctypes.c_int64, ctypes.c_int64,
+                                      ip, ip]
+        lib.dtw_backtrack.restype = ctypes.c_int64
+        _lib = lib
+    except Exception:  # noqa: BLE001 — fall back to numpy silently
+        _lib = None
+    return _lib
 
 
 def _cost_matrix(x, y):
@@ -35,6 +74,24 @@ def dtw_path(x, y, band: int | None = None):
         mask = np.abs(np.arange(n)[:, None] - np.arange(m)[None, :]
                       * (n / m)) > band
         cost = np.where(mask, np.inf, cost)
+
+    lib = _native_lib()
+    if lib is not None and band is None:
+        cost = np.ascontiguousarray(cost, np.float64)
+        acc = np.empty((n + 1, m + 1), np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.dtw_accumulate(cost.ctypes.data_as(dp), n, m,
+                           acc.ctypes.data_as(dp))
+        pi = np.empty(n + m, np.int64)
+        pj = np.empty(n + m, np.int64)
+        ip = ctypes.POINTER(ctypes.c_int64)
+        length = lib.dtw_backtrack(acc.ctypes.data_as(dp), n, m,
+                                   pi.ctypes.data_as(ip),
+                                   pj.ctypes.data_as(ip))
+        path = list(zip(pi[:length][::-1].tolist(),
+                        pj[:length][::-1].tolist()))
+        return float(acc[n, m]), path
+
     acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
     for i in range(1, n + 1):

@@ -168,6 +168,13 @@ def wavernn_sample_loop(i_static, gi2_static, f1_static, f2_static,
     nr_mix = wf3.shape[1] // 3 if mode == "MOL" else 0
     n_out = _round_up(max(wf3.shape[1], 8), LANE)
 
+    # auto-shrink the stream chunk so double-buffered blocks + VMEM-resident
+    # weights stay under the ~16MB VMEM budget for any fold count B
+    stream_bytes_per_step = B * (3 * d + d + 2 * fc) * 2  # bf16
+    budget = 6 * 1024 * 1024  # streams' share of VMEM (2 buffers)
+    max_chunk = max(8, (budget // (2 * stream_bytes_per_step)) // 8 * 8)
+    chunk = min(chunk, max_chunk)
+
     # pad time to a chunk multiple, outputs trimmed after
     T_pad = _round_up(T, chunk)
     pad_t = T_pad - T

@@ -77,7 +77,10 @@ def main():
     spk_dir = (cm.train_datadir / "spk_embeds"
                if model.has_speaker else None)
     if spk_dir is not None and not spk_dir.exists():
-        spk_dir = None
+        raise FileNotFoundError(
+            f"system_type={config['system_type']!r} needs precomputed speaker "
+            f"embeddings (GE2E d-vectors, reference README:14-16) in "
+            f"{spk_dir}; none found")
     samples, _ = load_files(train_meta, cm.train_datadir / "mels", spk_dir,
                             config.get("n_samples"))
     prepper = DataPrepper(config, pipeline.tokenizer)
