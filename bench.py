@@ -90,6 +90,21 @@ def main():
     wav.block_until_ready()
     voc_time = (time.perf_counter() - t0) / N_VOC
 
+    # DSP frontend speed (BASELINE config 1: mel extraction + Griffin-Lim)
+    from etts.ops.audio import AudioProcessor
+    ap = AudioProcessor(dict(sampling_rate=SR, n_fft=2048, hop_length=HOP,
+                             win_length=800, mel_channels=MEL_C, f_min=40,
+                             f_max=None, normalizer="WaveRNN"))
+    wav5 = jnp.asarray(np.random.default_rng(0).standard_normal(5 * SR),
+                       jnp.float32)
+    m = ap.mel_spectrogram(wav5)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        m = ap.mel_spectrogram(wav5)
+    jax.block_until_ready(m)
+    mel_extract_sec = (time.perf_counter() - t0) / 5
+
     audio_sec = wav.shape[0] / SR
     rtf = (tts_time + voc_time) / audio_sec
     result = {
@@ -103,6 +118,7 @@ def main():
             "audio_sec": round(audio_sec, 3),
             "wavernn_samples_per_sec": round(wav.shape[0] / voc_time, 1),
             "mel_frames_per_sec": round(mel.shape[1] / tts_time, 1),
+            "mel_extraction_x_realtime": round(5.0 / mel_extract_sec, 1),
             "backend": jax.devices()[0].platform,
         },
     }

@@ -8,9 +8,7 @@ host subprocess fan-out.
 """
 from __future__ import annotations
 
-import os
 import pickle
-from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 import numpy as np

@@ -71,10 +71,18 @@ class DataPrepper:
 
 
 class ForwardDataPrepper:
-    """npy triple (mel, phonemes, durations) loader (`data_handling.py:111-115`)."""
+    """npy triple (mel, phonemes, durations) loader (`data_handling.py:111-115`).
+
+    Samples longer than ``max_frames`` (the Expand bucket) are skipped
+    (returns None; the Dataset drops them)."""
+
+    def __init__(self, max_frames: Optional[int] = None):
+        self.max_frames = max_frames
 
     def __call__(self, sample):
         mel, tokens, durations = np.load(str(sample), allow_pickle=True)
+        if self.max_frames is not None and mel.shape[0] > self.max_frames:
+            return None
         return (np.asarray(mel, np.float32), np.asarray(tokens, np.int32),
                 np.asarray(durations, np.float32))
 
@@ -154,7 +162,10 @@ class Dataset:
             return
         buf = []
         for s in samples:
-            buf.append(self.preprocessor(s))
+            item = self.preprocessor(s)
+            if item is None:
+                continue
+            buf.append(item)
             if len(buf) == self.batch_size:
                 yield self._collate(buf)
                 buf = []
@@ -164,7 +175,9 @@ class Dataset:
     def _bucketed_epoch(self, samples):
         group_n = self.batch_size * self.bucket_groups
         for g in range(0, len(samples), group_n):
-            items = [self.preprocessor(s) for s in samples[g:g + group_n]]
+            items = [it for it in (self.preprocessor(s)
+                                   for s in samples[g:g + group_n])
+                     if it is not None]
             items.sort(key=lambda it: it[0].shape[0])  # by mel length
             batches = [items[i:i + self.batch_size]
                        for i in range(0, len(items), self.batch_size)]

@@ -9,7 +9,6 @@ Griffin-Lim head.
 """
 from __future__ import annotations
 
-from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 import numpy as np

@@ -19,7 +19,7 @@ Differences from the reference that are deliberate TPU choices:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

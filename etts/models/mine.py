@@ -127,7 +127,7 @@ def build_pairs(pair_type: str, text_embed, style_embed, speaker_embed, key):
 
 
 _CRITICS = {"first_order": MineNetFirstOrder, "linear": MineNetLinear,
-            "linear_q": MineNetLinearQ}
+            "linear_q": MineNetLinearQ, "second_order": MineNetSecondOrder}
 
 
 class MINE(nn.Module):
@@ -150,8 +150,15 @@ class MINE(nn.Module):
                  key):
         joint, marginal = build_pairs(self.pair_type, text_embed, style_embed,
                                       speaker_embed, key)
-        net = _CRITICS[self.critic](dense_hidden_units=self.dense_hidden_units,
-                                    dtype=self.dtype, name="MineNet")
+        if self.critic == "second_order":
+            net = MineNetSecondOrder(filters=self.conv_filters,
+                                     kernel_size=self.conv_kernel,
+                                     dense_hidden_units=self.dense_hidden_units,
+                                     dtype=self.dtype, name="MineNet")
+        else:
+            net = _CRITICS[self.critic](
+                dense_hidden_units=self.dense_hidden_units,
+                dtype=self.dtype, name="MineNet")
         mi, new_terms = measure_mi(net(joint), net(marginal), state.exp_terms,
                                    state.smoothing_factor,
                                    self.divergence_type, self.beta_values)

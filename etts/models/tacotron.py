@@ -24,7 +24,7 @@ convention (helpers.py:37).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

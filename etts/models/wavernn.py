@@ -20,7 +20,6 @@ The mixture-of-logistics loss/sampling reproduce
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax
@@ -28,7 +27,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
-from ..ops.gru import gru_cell, gru_scan
+from ..ops.gru import gru_scan
 from ..ops.normalizers import mu_law_decode
 
 Dtype = Any

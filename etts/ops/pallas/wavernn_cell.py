@@ -24,7 +24,6 @@ Output: samples (T, B) float32 in [-1, 1].
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,6 @@ factor r changes static shapes and keys a small jit cache.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -7,7 +7,6 @@ last decoder block's cross-attention -> integer durations via
 durations) npy triples for forward-model training.
 """
 import argparse
-from pathlib import Path
 
 import _bootstrap  # noqa: F401
 
@@ -18,8 +17,7 @@ import tqdm
 from etts.align import get_durations_from_alignment
 from etts.data import Dataset, DataPrepper, load_files
 from etts.train import TrainState, make_optimizer, make_autoregressive_val_step
-from etts.utils import ConfigManager, CheckpointManager
-from etts.utils.scheduling import reduction_schedule
+from etts.utils import ConfigManager
 
 
 def main():

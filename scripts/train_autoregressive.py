@@ -24,6 +24,7 @@ from etts.parallel import make_mesh, shard_batch, replicate
 from etts.train import (TrainState, make_optimizer,
                         make_autoregressive_train_step, make_mine_update)
 from etts.utils import ConfigManager, CheckpointManager
+from etts.utils.display import ValueWindow
 from etts.utils.logging import SummaryManager
 from etts.utils.scheduling import piecewise_linear_schedule, reduction_schedule
 
@@ -150,6 +151,9 @@ def main():
         state = replicate(state, mesh)
 
     summary = SummaryManager(model, cm.log_dir, config)
+    # rolling average displays (reference n_steps_avg_losses)
+    avg_windows = {n: ValueWindow(n)
+                   for n in config.get("n_steps_avg_losses", [100])}
     max_steps = args.max_steps or config["max_steps"]
     start_step = int(state.step)
 
@@ -203,7 +207,11 @@ def main():
                 mine_dataset.change_batches(new_bs)
 
         loss_val = float(metrics["loss"])
-        t.set_postfix(loss=loss_val)
+        for w in avg_windows.values():
+            w.append(loss_val)
+        t.set_postfix(loss=loss_val,
+                      **{f"avg{n}": round(w.average, 4)
+                         for n, w in avg_windows.items()})
         if np.isnan(loss_val) or loss_val > 1e4:
             raise RuntimeError(f"Loss exploded to {loss_val} at step {step}")
         if args.profile_dir and step == start_step + 10:

@@ -5,13 +5,11 @@ extract_durations output, train/val steps, duration histograms, timed
 predictions, orbax checkpoints.
 """
 import argparse
-from pathlib import Path
 
 import _bootstrap  # noqa: F401
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import tqdm
 
 from etts.data import Dataset, ForwardDataPrepper
@@ -42,7 +40,7 @@ def main():
 
     train_files = sorted((cm.train_datadir / "forward_data" / "train").glob("*.npy"))
     val_files = sorted((cm.train_datadir / "forward_data" / "val").glob("*.npy"))
-    prepper = ForwardDataPrepper()
+    prepper = ForwardDataPrepper(max_frames=max_frames)
     batch = config.get("tts_batch_size", 16)
     dataset = Dataset(train_files, prepper, batch,
                       mel_channels=config["mel_channels"],

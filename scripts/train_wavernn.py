@@ -47,7 +47,11 @@ def main():
 
     with open(Path(args.data) / "dataset.pkl", "rb") as f:
         dataset_index = pickle.load(f)
-    ids = [x[0] for x in dataset_index]
+    # drop utterances too short for a training window (collate needs
+    # mel_win + 2*pad + margin frames)
+    seq_hops = config.get("voc_seq_len_hops", 5)
+    min_mel = seq_hops + 4 * config.get("voc_pad", 2) + 3
+    ids = [x[0] for x in dataset_index if x[1] > min_mel]
     random.seed(1234)
     random.shuffle(ids)
     n_test = config.get("voc_test_samples", 50)
