@@ -51,23 +51,77 @@ def find_endpoint(wav, sample_rate, threshold_db=-40.0, min_silence_sec=0.8):
     return len(wav)
 
 
-def build_tacotron_dataset(config: dict, *, out_dir=None, column_sep="|",
-                           progress=True):
-    """metadata.csv + wavs -> {out}/taco-linear-*.npy, taco-mel-*.npy,
-    train.txt (`gst_tacotron/datasets/ljspeech.py:23-69` behavior)."""
-    data_dir = Path(config["data_directory"])
-    out = Path(out_dir or data_dir / "taco_training")
-    out.mkdir(parents=True, exist_ok=True)
-    wav_dir = data_dir / config.get("wav_subdir_name", "wavs")
-    meta = data_dir / config.get("metadata_filename", "metadata.csv")
-
-    rows = []
+def _iter_ljspeech(data_dir, config, column_sep="|"):
+    """metadata.csv rows `id|...|text` + wavs/ (ljspeech.py / blizzard2013.py
+    layout: blizzard2013-segmented uses the same metafile|wav scheme)."""
+    wav_dir = Path(data_dir) / config.get("wav_subdir_name", "wavs")
+    meta = Path(data_dir) / config.get("metadata_filename", "metadata.csv")
     with open(meta, encoding="utf-8") as f:
         for line in f:
             parts = line.strip().split(column_sep)
             if len(parts) >= 2:
                 name = parts[0].split(".")[0]
-                rows.append((name, parts[-1]))
+                yield str(wav_dir / (name + ".wav")), parts[-1], None
+
+
+def _parse_blizzard_labels(path, end_buffer=0.05):
+    """.lab silence trimming offsets (blizzard.py:62-75)."""
+    labels = []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(" ")
+            if len(parts) >= 3:
+                labels.append((float(parts[0]), " ".join(parts[2:])))
+    start, end = 0.0, None
+    if labels and labels[0][1] == "sil":
+        start = labels[0][0]
+    if len(labels) >= 2 and labels[-1][1] == "sil":
+        end = labels[-2][0] + end_buffer
+    return start, end
+
+
+def _iter_blizzard(data_dir, config,
+                   books=("ATrampAbroad", "TheManThatCorruptedHadleyburg"),
+                   min_confidence=90.0):
+    """Blizzard audiobook layout: per-book sentence_index.txt (tab-separated,
+    confidence-filtered) + wav/ + lab/ silence labels (blizzard.py:21-37)."""
+    for book in books:
+        index_file = Path(data_dir) / book / "sentence_index.txt"
+        if not index_file.exists():
+            continue
+        with open(index_file, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                if line.startswith("#") or len(parts) != 8:
+                    continue
+                if float(parts[3]) <= min_confidence:
+                    continue
+                wav = Path(data_dir) / book / "wav" / f"{parts[0]}.wav"
+                lab = Path(data_dir) / book / "lab" / f"{parts[0]}.lab"
+                trim = _parse_blizzard_labels(lab) if lab.exists() else None
+                yield str(wav), parts[5], trim
+
+
+DATASET_FORMATS = {"ljspeech": _iter_ljspeech, "blizzard2013": _iter_ljspeech,
+                   "blizzard": _iter_blizzard}
+
+
+def build_tacotron_dataset(config: dict, *, out_dir=None, column_sep="|",
+                           dataset_format: str = "ljspeech",
+                           max_out_frames: int | None = None,
+                           progress=True):
+    """wavs + metadata -> {out}/taco-linear-*.npy, taco-mel-*.npy, train.txt
+    (`gst_tacotron/preprocess.py` dispatch over `datasets/{ljspeech,blizzard,
+    blizzard2013}.py`). ``dataset_format`` selects the reader; blizzard trims
+    leading/trailing silence from .lab labels and drops over-length
+    utterances, as the reference does."""
+    data_dir = Path(config["data_directory"])
+    out = Path(out_dir or data_dir / "taco_training")
+    out.mkdir(parents=True, exist_ok=True)
+    reader = DATASET_FORMATS[dataset_format]
+    rows = list(reader(data_dir, config, column_sep) if
+                dataset_format in ("ljspeech", "blizzard2013")
+                else reader(data_dir, config))
 
     lines = []
     it = rows
@@ -77,9 +131,15 @@ def build_tacotron_dataset(config: dict, *, out_dir=None, column_sep="|",
             it = tqdm.tqdm(rows)
         except ImportError:
             pass
-    for idx, (name, text) in enumerate(it):
-        y, _ = load_wav(str(wav_dir / (name + ".wav")),
-                        config["sampling_rate"])
+    sr = config["sampling_rate"]
+    for idx, (wav_path, text, trim) in enumerate(it):
+        y, _ = load_wav(wav_path, sr)
+        if trim is not None:
+            start, end = trim
+            y = y[int(start * sr): int(end * sr) if end else len(y)]
+        if max_out_frames is not None and \
+                len(y) > max_out_frames * config["hop_length"]:
+            continue
         linear, mel = taco_linear_and_mel(y, config)
         lin_f = f"taco-linear-{idx:05d}.npy"
         mel_f = f"taco-mel-{idx:05d}.npy"
