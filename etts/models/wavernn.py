@@ -305,53 +305,38 @@ def _split_gates(w, d):
     return w[:, :d], w[:, d:2 * d], w[:, 2 * d:]
 
 
-def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
-             target: int = 11000, overlap: int = 550, mu_law: bool = True,
-             key=None, use_pallas: bool | None = None):
-    """Full generation path (fatchord_version.py:150-243): upsample -> fold ->
-    sequential sample loop -> unfold -> mu-law decode -> 20-hop fade-out.
+def _conditioning_streams(model: WaveRNN, params, mels_up, aux):
+    """Hoist every conditioning-dependent projection into batched matmuls.
 
-    The loop precomputes every conditioning-dependent projection for all
-    timesteps (one big MXU matmul each), leaving only sample-path matmuls in
-    the scan. Returns a 1-D waveform array of length (t_mel-1)*hop.
-    """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    mu_law = mu_law if model.mode == "RAW" else False
-    if mels.ndim == 2:
-        mels = mels[None]
-    b0, t_mel, _ = mels.shape
-    assert b0 == 1, "generate() vocodes one utterance; batch via folds"
-    wave_len = (t_mel - 1) * model.hop_length
-    # pad the mel so the resnet sees context (pad_tensor + upsample indent)
-    mels = jnp.pad(mels, ((0, 0), (model.pad, model.pad), (0, 0)))
-    mels_up, aux = model.apply(variables, mels, False,
-                               method=WaveRNN.upsample_cond)
-    if batched:
-        mels_up = fold_with_overlap(mels_up, target, overlap)
-        aux = fold_with_overlap(aux, target, overlap)
-
-    params = variables["params"]
+    Returns (streams, weights): streams are (B, T, .) arrays consumed one
+    timestep per loop iteration; weights are the sample-path matrices."""
     d = model.rnn_dims
     adim = model.aux_dims
     a1, a2, a3, a4 = (aux[..., adim * i: adim * (i + 1)] for i in range(4))
-
-    # hoist conditioning matmuls out of the loop
     W_I, b_I = params["I"]["kernel"], params["I"]["bias"]
     I_x, I_cond = W_I[:1], W_I[1:]
-    i_static = (jnp.concatenate([mels_up, a1], -1) @ I_cond) + b_I  # (B,T,d)
     r1 = {k: params[f"rnn1_{k}"] for k in ("wi", "wh", "bi", "bh")}
     r2 = {k: params[f"rnn2_{k}"] for k in ("wi", "wh", "bi", "bh")}
     W2_x, W2_a = r2["wi"][:d], r2["wi"][d:]
-    gi2_static = a2 @ W2_a + r2["bi"]
     Wf1, bf1 = params["fc1"]["kernel"], params["fc1"]["bias"]
-    f1_static = a3 @ Wf1[d:] + bf1
     Wf2, bf2 = params["fc2"]["kernel"], params["fc2"]["bias"]
-    f2_static = a4 @ Wf2[model.fc_dims:] + bf2
     Wf3, bf3 = params["fc3"]["kernel"], params["fc3"]["bias"]
+    streams = {
+        "i": (jnp.concatenate([mels_up, a1], -1) @ I_cond) + b_I,
+        "gi2": a2 @ W2_a + r2["bi"],
+        "f1": a3 @ Wf1[d:] + bf1,
+        "f2": a4 @ Wf2[model.fc_dims:] + bf2,
+    }
+    weights = {"I_x": I_x, "r1": r1, "r2": r2, "W2_x": W2_x,
+               "Wf1x": Wf1[:d], "Wf2x": Wf2[:model.fc_dims],
+               "Wf3": Wf3, "bf3": bf3}
+    return streams, weights
 
-    B, T, _ = mels_up.shape
 
+def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas):
+    """Sequential sample loop over (B, T) streams -> samples (B, T)."""
+    d = model.rnn_dims
+    B, T, _ = streams["i"].shape
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
@@ -359,41 +344,40 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         if pallas_available:
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
             samples_tb = wavernn_sample_loop(
-                jnp.swapaxes(i_static, 0, 1), jnp.swapaxes(gi2_static, 0, 1),
-                jnp.swapaxes(f1_static, 0, 1), jnp.swapaxes(f2_static, 0, 1),
-                I_x, r1["wi"], r1["wh"], r1["bi"], r1["bh"],
-                W2_x, r2["wh"], r2["bh"],
-                Wf1[:d], Wf2[:model.fc_dims], Wf3, bf3, seed,
+                jnp.swapaxes(streams["i"], 0, 1),
+                jnp.swapaxes(streams["gi2"], 0, 1),
+                jnp.swapaxes(streams["f1"], 0, 1),
+                jnp.swapaxes(streams["f2"], 0, 1),
+                w["I_x"], w["r1"]["wi"], w["r1"]["wh"], w["r1"]["bi"],
+                w["r1"]["bh"], w["W2_x"], w["r2"]["wh"], w["r2"]["bh"],
+                w["Wf1x"], w["Wf2x"], w["Wf3"], w["bf3"], seed,
                 mode=model.mode, n_classes=model.n_classes)
-            output = jnp.swapaxes(samples_tb, 0, 1)  # (B, T)
-            return _finalize(output, batched, overlap, mu_law, model,
-                             wave_len)
+            return jnp.swapaxes(samples_tb, 0, 1)
+
+    r1, r2 = w["r1"], w["r2"]
 
     def step(carry, xs):
         h1, h2, x_prev, k = carry
         i_t, gi2_t, f1_t, f2_t = xs
         k, sk = jax.random.split(k)
-        inp = i_t + x_prev @ I_x  # (B, d)
-        # GRU1 (input proj inlined; hidden matmul per step)
+        inp = i_t + x_prev @ w["I_x"]  # (B, d)
         gi1 = inp @ r1["wi"] + r1["bi"]
         gh1 = h1 @ r1["wh"] + r1["bh"]
-        r_, z_, n_ = (jax.nn.sigmoid(gi1[:, :d] + gh1[:, :d]),
-                      jax.nn.sigmoid(gi1[:, d:2 * d] + gh1[:, d:2 * d]),
-                      None)
+        r_ = jax.nn.sigmoid(gi1[:, :d] + gh1[:, :d])
+        z_ = jax.nn.sigmoid(gi1[:, d:2 * d] + gh1[:, d:2 * d])
         n_ = jnp.tanh(gi1[:, 2 * d:] + r_ * gh1[:, 2 * d:])
         h1 = (1 - z_) * n_ + z_ * h1
         x = inp + h1
-        # GRU2
-        gi2 = x @ W2_x + gi2_t
+        gi2 = x @ w["W2_x"] + gi2_t
         gh2 = h2 @ r2["wh"] + r2["bh"]
         r_ = jax.nn.sigmoid(gi2[:, :d] + gh2[:, :d])
         z_ = jax.nn.sigmoid(gi2[:, d:2 * d] + gh2[:, d:2 * d])
         n_ = jnp.tanh(gi2[:, 2 * d:] + r_ * gh2[:, 2 * d:])
         h2 = (1 - z_) * n_ + z_ * h2
         x = x + h2
-        y = jax.nn.relu(x @ Wf1[:d] + f1_t)
-        y = jax.nn.relu(y @ Wf2[:model.fc_dims] + f2_t)
-        logits = y @ Wf3 + bf3
+        y = jax.nn.relu(x @ w["Wf1x"] + f1_t)
+        y = jax.nn.relu(y @ w["Wf2x"] + f2_t)
+        logits = y @ w["Wf3"] + w["bf3"]
         if model.mode == "MOL":
             sample = sample_from_discretized_mix_logistic(logits, sk)
         else:
@@ -402,11 +386,82 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         return (h1, h2, sample[:, None], k), sample
 
     init = (jnp.zeros((B, d)), jnp.zeros((B, d)), jnp.zeros((B, 1)), key)
-    xs = (jnp.swapaxes(i_static, 0, 1), jnp.swapaxes(gi2_static, 0, 1),
-          jnp.swapaxes(f1_static, 0, 1), jnp.swapaxes(f2_static, 0, 1))
+    xs = tuple(jnp.swapaxes(streams[k], 0, 1)
+               for k in ("i", "gi2", "f1", "f2"))
     _, samples = jax.lax.scan(step, init, xs)
-    output = jnp.swapaxes(samples, 0, 1)  # (B, T)
+    return jnp.swapaxes(samples, 0, 1)
+
+
+def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
+             target: int = 11000, overlap: int = 550, mu_law: bool = True,
+             key=None, use_pallas: bool | None = None):
+    """Full generation path (fatchord_version.py:150-243): upsample -> fold ->
+    sequential sample loop -> unfold -> mu-law decode -> 20-hop fade-out.
+
+    Conditioning projections run as big batched matmuls before the loop; the
+    sequential core is either a lax.scan or the fused Pallas kernel. Returns a
+    1-D waveform of length (t_mel-1)*hop.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mu_law = mu_law if model.mode == "RAW" else False
+    if mels.ndim == 2:
+        mels = mels[None]
+    b0, t_mel, _ = mels.shape
+    assert b0 == 1, "generate() vocodes one utterance; see generate_batch()"
+    wave_len = (t_mel - 1) * model.hop_length
+    # pad the mel so the resnet sees context (pad_tensor + upsample indent)
+    mels = jnp.pad(mels, ((0, 0), (model.pad, model.pad), (0, 0)))
+    mels_up, aux = model.apply(variables, mels, False,
+                               method=WaveRNN.upsample_cond)
+    if batched:
+        mels_up = fold_with_overlap(mels_up, target, overlap)
+        aux = fold_with_overlap(aux, target, overlap)
+    streams, w = _conditioning_streams(model, variables["params"], mels_up,
+                                       aux)
+    output = _run_sample_loop(model, streams, w, key, use_pallas)
     return _finalize(output, batched, overlap, mu_law, model, wave_len)
+
+
+def generate_batch(model: WaveRNN, variables, mels_list, *,
+                   target: int = 11000, overlap: int = 550,
+                   mu_law: bool = True, key=None,
+                   use_pallas: bool | None = None):
+    """Vocode MANY utterances in one sample loop (serving throughput).
+
+    Each utterance is folded independently (fold rows all share the same
+    length target + 2*overlap); the rows of all utterances concatenate into
+    one batch for a single sequential pass, then split and crossfade-unfold
+    per utterance. Throughput scales with total fold count until the MXU
+    saturates. Returns a list of 1-D waveforms.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mu_law = mu_law if model.mode == "RAW" else False
+    ups, auxs, counts, wave_lens = [], [], [], []
+    for mel in mels_list:
+        if mel.ndim == 2:
+            mel = mel[None]
+        wave_lens.append((mel.shape[1] - 1) * model.hop_length)
+        mel = jnp.pad(mel, ((0, 0), (model.pad, model.pad), (0, 0)))
+        mu, au = model.apply(variables, mel, False,
+                             method=WaveRNN.upsample_cond)
+        mu = fold_with_overlap(mu, target, overlap)
+        au = fold_with_overlap(au, target, overlap)
+        counts.append(mu.shape[0])
+        ups.append(mu)
+        auxs.append(au)
+    mels_up = jnp.concatenate(ups, axis=0)
+    aux = jnp.concatenate(auxs, axis=0)
+    streams, w = _conditioning_streams(model, variables["params"], mels_up,
+                                       aux)
+    output = _run_sample_loop(model, streams, w, key, use_pallas)
+    wavs, ofs = [], 0
+    for count, wave_len in zip(counts, wave_lens):
+        rows = output[ofs:ofs + count]
+        ofs += count
+        wavs.append(_finalize(rows, True, overlap, mu_law, model, wave_len))
+    return wavs
 
 
 def _finalize(output, batched, overlap, mu_law, model, wave_len):

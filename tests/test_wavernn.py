@@ -158,3 +158,18 @@ class TestGenerate:
         manual = h @ params["fc3"]["kernel"] + params["fc3"]["bias"]
         np.testing.assert_allclose(np.asarray(manual), np.asarray(logits),
                                    atol=1e-4)
+
+
+class TestGenerateBatch:
+    def test_multi_utterance(self):
+        from etts.models.wavernn import generate_batch
+        model, variables, _, _ = _init("MOL")
+        import jax
+        mels = [jax.random.normal(jax.random.PRNGKey(i), (10 + 2 * i, 8))
+                for i in range(3)]
+        wavs = generate_batch(model, variables, mels, target=30, overlap=10,
+                              key=jax.random.PRNGKey(0))
+        assert len(wavs) == 3
+        for i, w in enumerate(wavs):
+            assert w.shape == ((10 + 2 * i - 1) * 10,)
+            assert np.isfinite(np.asarray(w)).all()
