@@ -108,6 +108,20 @@ class VocoderSynthesizer:
             mu_law=c.get("mu_law", True) if mu_law is None else mu_law,
             key=key))
 
+    def generate_many(self, mels, target=None, overlap=None, mu_law=None,
+                      key=None):
+        """Vocode a list of mels in ONE sequential pass (serving throughput;
+        all utterances' fold rows share the sample loop)."""
+        from .models.wavernn import generate_batch
+        c = self.config
+        wavs = generate_batch(
+            self.model, self.variables, [jnp.asarray(m) for m in mels],
+            target=c.get("voc_target", 11000) if target is None else target,
+            overlap=c.get("voc_overlap", 550) if overlap is None else overlap,
+            mu_law=c.get("mu_law", True) if mu_law is None else mu_law,
+            key=key)
+        return [np.asarray(w) for w in wavs]
+
 
 class TacotronSynthesizer:
     """GST-Tacotron text+ref-mel -> wav via linear-spectrogram Griffin-Lim

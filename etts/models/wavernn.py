@@ -333,26 +333,32 @@ def _conditioning_streams(model: WaveRNN, params, mels_up, aux):
     return streams, weights
 
 
-def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas):
+def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key):
+    """Fused-kernel path: stream RAW conditioning, project in-kernel."""
+    from ..ops.pallas import wavernn_sample_loop
+    d = model.rnn_dims
+    r1 = {k: params[f"rnn1_{k}"] for k in ("wi", "wh", "bi", "bh")}
+    r2 = {k: params[f"rnn2_{k}"] for k in ("wi", "wh", "bi", "bh")}
+    Wf1, bf1 = params["fc1"]["kernel"], params["fc1"]["bias"]
+    Wf2, bf2 = params["fc2"]["kernel"], params["fc2"]["bias"]
+    Wf3, bf3 = params["fc3"]["kernel"], params["fc3"]["bias"]
+    cond = jnp.swapaxes(jnp.concatenate([mels_up, aux], -1), 0, 1)  # (T,B,C)
+    seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+    samples_tb = wavernn_sample_loop(
+        cond, params["I"]["kernel"], params["I"]["bias"],
+        r1["wi"], r1["wh"], r1["bi"], r1["bh"],
+        r2["wi"][:d], r2["wi"][d:], r2["wh"], r2["bi"], r2["bh"],
+        Wf1[:d], Wf1[d:], bf1, Wf2[:model.fc_dims], Wf2[model.fc_dims:], bf2,
+        Wf3, bf3, seed, feat=model.feat_dims, adim=model.aux_dims,
+        mode=model.mode, n_classes=model.n_classes)
+    return jnp.swapaxes(samples_tb, 0, 1)
+
+
+def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas=False):
     """Sequential sample loop over (B, T) streams -> samples (B, T)."""
+    del use_pallas  # the pallas path takes raw streams, see _run_pallas_loop
     d = model.rnn_dims
     B, T, _ = streams["i"].shape
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from ..ops.pallas import wavernn_sample_loop, pallas_available
-        if pallas_available:
-            seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
-            samples_tb = wavernn_sample_loop(
-                jnp.swapaxes(streams["i"], 0, 1),
-                jnp.swapaxes(streams["gi2"], 0, 1),
-                jnp.swapaxes(streams["f1"], 0, 1),
-                jnp.swapaxes(streams["f2"], 0, 1),
-                w["I_x"], w["r1"]["wi"], w["r1"]["wh"], w["r1"]["bi"],
-                w["r1"]["bh"], w["W2_x"], w["r2"]["wh"], w["r2"]["bh"],
-                w["Wf1x"], w["Wf2x"], w["Wf3"], w["bf3"], seed,
-                mode=model.mode, n_classes=model.n_classes)
-            return jnp.swapaxes(samples_tb, 0, 1)
 
     r1, r2 = w["r1"], w["r2"]
 
@@ -417,9 +423,16 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
     if batched:
         mels_up = fold_with_overlap(mels_up, target, overlap)
         aux = fold_with_overlap(aux, target, overlap)
-    streams, w = _conditioning_streams(model, variables["params"], mels_up,
-                                       aux)
-    output = _run_sample_loop(model, streams, w, key, use_pallas)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from ..ops.pallas import pallas_available
+    if use_pallas and pallas_available:
+        output = _run_pallas_loop(model, variables["params"], mels_up, aux,
+                                  key)
+    else:
+        streams, w = _conditioning_streams(model, variables["params"],
+                                           mels_up, aux)
+        output = _run_sample_loop(model, streams, w, key)
     return _finalize(output, batched, overlap, mu_law, model, wave_len)
 
 
@@ -453,9 +466,16 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
         auxs.append(au)
     mels_up = jnp.concatenate(ups, axis=0)
     aux = jnp.concatenate(auxs, axis=0)
-    streams, w = _conditioning_streams(model, variables["params"], mels_up,
-                                       aux)
-    output = _run_sample_loop(model, streams, w, key, use_pallas)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from ..ops.pallas import pallas_available
+    if use_pallas and pallas_available:
+        output = _run_pallas_loop(model, variables["params"], mels_up, aux,
+                                  key)
+    else:
+        streams, w = _conditioning_streams(model, variables["params"],
+                                           mels_up, aux)
+        output = _run_sample_loop(model, streams, w, key)
     wavs, ofs = [], 0
     for count, wave_len in zip(counts, wave_lens):
         rows = output[ofs:ofs + count]

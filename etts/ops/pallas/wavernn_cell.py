@@ -1,24 +1,21 @@
 """Fused WaveRNN sampling loop as a Pallas TPU kernel.
 
 The reference's generation bottleneck is the per-sample sequential cell
-(`WaveRNN/models/fatchord_version.py:180-220`): at 16 kHz each emitted sample
-needs 2 GRU-hidden matmuls + 2 FC matmuls on the sample path. Under `lax.scan`
-XLA re-streams the ~14 MB of weights from HBM every step, so generation is
-HBM-bandwidth-bound. This kernel keeps ALL recurrent weights resident in VMEM
-for the whole waveform, pipelines the per-timestep conditioning streams
-(precomputed by big batched matmuls outside the kernel) through Pallas'
-block pipeline, and runs the mixture-of-logistics / categorical sampling with
-the on-core PRNG — HBM traffic drops to just the conditioning streams.
+(`WaveRNN/models/fatchord_version.py:180-220`): every emitted sample needs two
+GRU-hidden matmuls + FC matmuls on the sample path. Under `lax.scan` XLA
+re-streams the ~14 MB of weights from HBM each step, so generation is
+HBM-bandwidth-bound. This kernel:
 
-Inputs (all conditioning projections precomputed, see
-`etts.models.wavernn.generate`):
-  i_static   (T, B, d)    I(cond) + b_I per step
-  gi2_static (T, B, 3d)   a2 @ W2_a + b_i2
-  f1_static  (T, B, fc)   a3 @ Wf1_a + b_f1
-  f2_static  (T, B, fc)   a4 @ Wf2_a + b_f2
-weights: I_x (1, d), rnn1 wi/wh/bi/bh, rnn2 wx/wh/bh, fc1_x (d, fc),
-fc2_x (fc, fc), fc3 (fc, n_out_padded) + bias.
+  - keeps ALL weights (bf16, ~8 MB) resident in VMEM for the entire waveform;
+  - streams the RAW per-step conditioning (mel + 4 aux splits, ~208 columns)
+    through the Pallas block pipeline and applies the conditioning projections
+    *in-kernel* — 15x less stream memory/HBM traffic than streaming the
+    projected activations, which keeps the pipeline chunk large even at high
+    fold counts (multi-utterance serving);
+  - samples (mixture-of-logistics gumbel pick + logistic inverse-CDF, or
+    categorical) with the on-core PRNG.
 
+Stream layout: cond (T, B, feat + 4*aux) = [mels_up | a1 | a2 | a3 | a4].
 Output: samples (T, B) float32 in [-1, 1].
 """
 from __future__ import annotations
@@ -55,17 +52,18 @@ def _uniform_from_bits(bits):
     return jnp.clip(u, 1e-5, 1.0 - 1e-5)
 
 
-def _make_kernel(T, B, d, fc, n_out, chunk, mode, nr_mix, n_classes,
+def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
                  log_scale_min):
-    gate = 3 * d
-
-    def kernel(seed_ref,  # SMEM (1,)
-               i_ref, gi2_ref, f1_ref, f2_ref,  # VMEM blocks (chunk, B, .)
-               ix_ref, wi1_ref, wh1_ref, bi1_ref, bh1_ref,
-               w2x_ref, wh2_ref, bh2_ref,
-               wf1x_ref, wf2x_ref, wf3_ref, bf3_ref,
-               out_ref,  # VMEM (chunk, B)
-               h1_ref, h2_ref, x_ref):  # scratch carries (B, d)/(B, LANE)
+    def kernel(seed_ref,            # SMEM (1,)
+               cond_ref,            # VMEM block (chunk, B, feat + 4*adim)
+               ix_ref, wic_ref, bi_ref,          # I: x row, cond kernel, bias
+               wi1_ref, wh1_ref, bi1_ref, bh1_ref,
+               w2x_ref, w2a_ref, wh2_ref, bi2_ref, bh2_ref,
+               wf1x_ref, wf1a_ref, bf1_ref,
+               wf2x_ref, wf2a_ref, bf2_ref,
+               wf3_ref, bf3_ref,
+               out_ref,             # VMEM (chunk, B)
+               h1_ref, h2_ref, x_ref):
         ci = pl.program_id(0)
 
         @pl.when(ci == 0)
@@ -76,10 +74,17 @@ def _make_kernel(T, B, d, fc, n_out, chunk, mode, nr_mix, n_classes,
             x_ref[:] = jnp.zeros((B, LANE), jnp.float32)
 
         def step(t, _):
-            x_prev = x_ref[:, :1]  # (B, 1)
-            inp = i_ref[t].astype(jnp.float32) + x_prev * ix_ref[0][None, :]
-            h1 = h1_ref[:]
             wdt = wi1_ref.dtype
+            cond = cond_ref[t].astype(wdt)  # (B, feat+4*adim)
+            mel_a1 = cond[:, :feat + adim]
+            a2 = cond[:, feat + adim:feat + 2 * adim]
+            a3 = cond[:, feat + 2 * adim:feat + 3 * adim]
+            a4 = cond[:, feat + 3 * adim:feat + 4 * adim]
+            x_prev = x_ref[:, :1]
+            inp = (jnp.dot(mel_a1, wic_ref[:],
+                           preferred_element_type=jnp.float32)
+                   + bi_ref[0] + x_prev * ix_ref[0][None, :])
+            h1 = h1_ref[:]
             gi1 = jnp.dot(inp.astype(wdt), wi1_ref[:],
                           preferred_element_type=jnp.float32) + bi1_ref[0]
             gh1 = jnp.dot(h1.astype(wdt), wh1_ref[:],
@@ -90,9 +95,11 @@ def _make_kernel(T, B, d, fc, n_out, chunk, mode, nr_mix, n_classes,
             h1 = (1.0 - z) * n + z * h1
             h1_ref[:] = h1
             x = inp + h1
-            gi2 = jnp.dot(x.astype(wdt), w2x_ref[:],
-                          preferred_element_type=jnp.float32) \
-                + gi2_ref[t].astype(jnp.float32)
+            gi2 = (jnp.dot(x.astype(wdt), w2x_ref[:],
+                           preferred_element_type=jnp.float32)
+                   + jnp.dot(a2, w2a_ref[:],
+                             preferred_element_type=jnp.float32)
+                   + bi2_ref[0])
             h2 = h2_ref[:]
             gh2 = jnp.dot(h2.astype(wdt), wh2_ref[:],
                           preferred_element_type=jnp.float32) + bh2_ref[0]
@@ -102,12 +109,18 @@ def _make_kernel(T, B, d, fc, n_out, chunk, mode, nr_mix, n_classes,
             h2 = (1.0 - z) * n + z * h2
             h2_ref[:] = h2
             x = x + h2
-            y = jnp.maximum(jnp.dot(x.astype(wdt), wf1x_ref[:],
-                                    preferred_element_type=jnp.float32)
-                            + f1_ref[t].astype(jnp.float32), 0.0)
-            y = jnp.maximum(jnp.dot(y.astype(wdt), wf2x_ref[:],
-                                    preferred_element_type=jnp.float32)
-                            + f2_ref[t].astype(jnp.float32), 0.0)
+            y = jnp.maximum(
+                jnp.dot(x.astype(wdt), wf1x_ref[:],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(a3, wf1a_ref[:],
+                          preferred_element_type=jnp.float32)
+                + bf1_ref[0], 0.0)
+            y = jnp.maximum(
+                jnp.dot(y.astype(wdt), wf2x_ref[:],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(a4, wf2a_ref[:],
+                          preferred_element_type=jnp.float32)
+                + bf2_ref[0], 0.0)
             logits = jnp.dot(y.astype(wdt), wf3_ref[:],
                              preferred_element_type=jnp.float32) + bf3_ref[0]
             # ---- sampling ----
@@ -148,83 +161,81 @@ def _make_kernel(T, B, d, fc, n_out, chunk, mode, nr_mix, n_classes,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "n_classes",
-                                             "log_scale_min", "chunk",
-                                             "interpret", "weight_dtype"))
-def wavernn_sample_loop(i_static, gi2_static, f1_static, f2_static,
-                        ix, wi1, wh1, bi1, bh1, w2x, wh2, bh2,
-                        wf1x, wf2x, wf3, bf3, seed, *,
-                        mode: str = "MOL", n_classes: int = 30,
+@functools.partial(jax.jit, static_argnames=("feat", "adim", "mode",
+                                             "n_classes", "log_scale_min",
+                                             "chunk", "interpret",
+                                             "weight_dtype"))
+def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
+                        w2x, w2a, wh2, bi2, bh2,
+                        wf1x, wf1a, bf1, wf2x, wf2a, bf2, wf3, bf3, seed, *,
+                        feat: int, adim: int, mode: str = "MOL",
+                        n_classes: int = 30,
                         log_scale_min: float = float(np.log(1e-14)),
-                        chunk: int = 32, interpret: bool = False,
+                        chunk: int = 128, interpret: bool = False,
                         weight_dtype=jnp.bfloat16):
-    """Run the fused sampling loop. Stream args are (T, B, .), weights 2-D.
+    """Run the fused sampling loop.
 
-    Returns samples (T, B) float32.
-    """
-    T, B, d = i_static.shape
+    cond: (T, B, feat + 4*adim) raw conditioning [mels_up | a1..a4];
+    W_I: (1 + feat + adim, d) — row 0 is the sample path. Returns (T, B)."""
+    T, B, C = cond.shape
+    d = wi1.shape[0]
     fc = wf1x.shape[1]
     nr_mix = wf3.shape[1] // 3 if mode == "MOL" else 0
     n_out = _round_up(max(wf3.shape[1], 8), LANE)
 
-    # auto-shrink the stream chunk so double-buffered blocks + VMEM-resident
-    # weights stay under the ~16MB VMEM budget for any fold count B
-    stream_bytes_per_step = B * (3 * d + d + 2 * fc) * 2  # bf16
-    budget = 6 * 1024 * 1024  # streams' share of VMEM (2 buffers)
+    # auto-size the stream chunk against the VMEM budget (2 pipeline buffers)
+    stream_bytes_per_step = B * C * 2  # bf16
+    budget = 5 * 1024 * 1024
     max_chunk = max(8, (budget // (2 * stream_bytes_per_step)) // 8 * 8)
     chunk = min(chunk, max_chunk)
 
-    # pad time to a chunk multiple, outputs trimmed after
     T_pad = _round_up(T, chunk)
-    pad_t = T_pad - T
-    stream_dtype = jnp.bfloat16
-    streams = [jnp.pad(s, ((0, pad_t), (0, 0), (0, 0))).astype(stream_dtype)
-               for s in (i_static, gi2_static, f1_static, f2_static)]
+    cond = jnp.pad(cond, ((0, T_pad - T), (0, 0), (0, 0))).astype(jnp.bfloat16)
     wf3_p = jnp.pad(wf3, ((0, 0), (0, n_out - wf3.shape[1])))
-    bf3_p = jnp.pad(bf3.reshape(1, -1),
-                    ((0, 0), (0, n_out - wf3.shape[1])),
+    bf3_p = jnp.pad(bf3.reshape(1, -1), ((0, 0), (0, n_out - wf3.shape[1])),
                     constant_values=-1e9 if mode != "MOL" else 0.0)
 
-    kernel = _make_kernel(T_pad, B, d, fc, n_out, chunk, mode, nr_mix,
+    kernel = _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix,
                           n_classes, log_scale_min)
-    grid = (T_pad // chunk,)
-    stream_spec = lambda dim: pl.BlockSpec(
-        (chunk, B, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    wdt = weight_dtype
+    f32 = jnp.float32
 
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(T_pad // chunk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed
-            stream_spec(d), stream_spec(3 * d), stream_spec(fc),
-            stream_spec(fc),
-            wspec((1, d)),                                    # I_x
-            wspec((d, 3 * d)), wspec((d, 3 * d)),             # wi1, wh1
-            wspec((1, 3 * d)), wspec((1, 3 * d)),             # bi1, bh1
-            wspec((d, 3 * d)), wspec((d, 3 * d)),             # w2x, wh2
-            wspec((1, 3 * d)),                                # bh2
-            wspec((d, fc)), wspec((fc, fc)),                  # wf1x, wf2x
-            wspec((fc, n_out)), wspec((1, n_out)),            # wf3, bf3
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
+            pl.BlockSpec((chunk, B, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # cond stream
+            wspec((1, d)), wspec((feat + adim, d)), wspec((1, d)),   # I
+            wspec((d, 3 * d)), wspec((d, 3 * d)),              # wi1, wh1
+            wspec((1, 3 * d)), wspec((1, 3 * d)),              # bi1, bh1
+            wspec((d, 3 * d)), wspec((adim, 3 * d)),           # w2x, w2a
+            wspec((d, 3 * d)),                                 # wh2
+            wspec((1, 3 * d)), wspec((1, 3 * d)),              # bi2, bh2
+            wspec((d, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc1
+            wspec((fc, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc2
+            wspec((fc, n_out)), wspec((1, n_out)),             # fc3
         ],
         out_specs=pl.BlockSpec((chunk, B), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, d), jnp.float32),    # h1
-            pltpu.VMEM((B, d), jnp.float32),    # h2
+            pltpu.VMEM((B, d), jnp.float32),     # h1
+            pltpu.VMEM((B, d), jnp.float32),     # h2
             pltpu.VMEM((B, LANE), jnp.float32),  # x carry
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(jnp.asarray([seed], jnp.int32),
-      *streams,
-      ix.reshape(1, d).astype(jnp.float32),
-      wi1.astype(weight_dtype), wh1.astype(weight_dtype),
-      bi1.reshape(1, -1).astype(jnp.float32),
-      bh1.reshape(1, -1).astype(jnp.float32),
-      w2x.astype(weight_dtype), wh2.astype(weight_dtype),
-      bh2.reshape(1, -1).astype(jnp.float32),
-      wf1x.astype(weight_dtype), wf2x.astype(weight_dtype),
-      wf3_p.astype(weight_dtype), bf3_p.astype(jnp.float32))
+      cond,
+      W_I[:1].astype(f32), W_I[1:].astype(wdt), b_I.reshape(1, -1).astype(f32),
+      wi1.astype(wdt), wh1.astype(wdt),
+      bi1.reshape(1, -1).astype(f32), bh1.reshape(1, -1).astype(f32),
+      w2x.astype(wdt), w2a.astype(wdt), wh2.astype(wdt),
+      bi2.reshape(1, -1).astype(f32), bh2.reshape(1, -1).astype(f32),
+      wf1x.astype(wdt), wf1a.astype(wdt), bf1.reshape(1, -1).astype(f32),
+      wf2x.astype(wdt), wf2a.astype(wdt), bf2.reshape(1, -1).astype(f32),
+      wf3_p.astype(wdt), bf3_p.astype(f32))
     return out[:T]

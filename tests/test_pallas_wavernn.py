@@ -1,5 +1,5 @@
-"""Pallas WaveRNN kernel validated in interpreter mode against the lax.scan
-cell math (deterministic parts) and for distributional sanity (sampling)."""
+"""Pallas WaveRNN kernel validated in interpreter mode against the scan-path
+math (deterministic cases) and for distributional sanity (sampling)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,46 +11,63 @@ pytestmark = pytest.mark.skipif(not pallas_available,
                                 reason="pallas not importable")
 
 D, FC, B, T = 16, 16, 8, 12
+FEAT, ADIM = 8, 4  # raw conditioning: mel cols + aux split width
 
 
 def _weights(key, n_out):
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 16)
     s = 0.1
     return dict(
-        ix=jax.random.normal(ks[0], (1, D)) * s,
+        W_I=jax.random.normal(ks[0], (1 + FEAT + ADIM, D)) * s,
+        b_I=jax.random.normal(ks[12], (D,)) * s,
         wi1=jax.random.normal(ks[1], (D, 3 * D)) * s,
         wh1=jax.random.normal(ks[2], (D, 3 * D)) * s,
         bi1=jax.random.normal(ks[3], (3 * D,)) * s,
         bh1=jax.random.normal(ks[4], (3 * D,)) * s,
         w2x=jax.random.normal(ks[5], (D, 3 * D)) * s,
+        w2a=jax.random.normal(ks[13], (ADIM, 3 * D)) * s,
         wh2=jax.random.normal(ks[6], (D, 3 * D)) * s,
+        bi2=jax.random.normal(ks[14], (3 * D,)) * s,
         bh2=jax.random.normal(ks[7], (3 * D,)) * s,
         wf1x=jax.random.normal(ks[8], (D, FC)) * s,
+        wf1a=jax.random.normal(ks[15], (ADIM, FC)) * s,
+        bf1=jnp.zeros((FC,)),
         wf2x=jax.random.normal(ks[9], (FC, FC)) * s,
-        wf3=jax.random.normal(ks[10], (FC, n_out)) * s,
-        bf3=jax.random.normal(ks[11], (n_out,)) * s,
+        wf2a=jax.random.normal(ks[10], (ADIM, FC)) * s,
+        bf2=jnp.zeros((FC,)),
+        wf3=jax.random.normal(ks[11], (FC, n_out)) * s,
+        bf3=jnp.zeros((n_out,)),
     )
 
 
-def _streams(key):
-    ks = jax.random.split(key, 4)
-    return (jax.random.normal(ks[0], (T, B, D)) * 0.1,
-            jax.random.normal(ks[1], (T, B, 3 * D)) * 0.1,
-            jax.random.normal(ks[2], (T, B, FC)) * 0.1,
-            jax.random.normal(ks[3], (T, B, FC)) * 0.1)
+def _cond(key):
+    return jax.random.normal(key, (T, B, FEAT + 4 * ADIM)) * 0.1
 
 
-def _scan_reference(streams, w, sample_fn):
-    """Pure-jnp replication of the kernel's deterministic recurrence, with an
-    injected sampling function so we can compare the pre-sample logits."""
-    i_s, gi2_s, f1_s, f2_s = streams
+def _call_kernel(cond, w, **kw):
+    return wavernn_sample_loop(
+        cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+        w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+        w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"], w["bf2"],
+        w["wf3"], w["bf3"], feat=FEAT, adim=ADIM, chunk=4, interpret=True,
+        weight_dtype=jnp.float32, **kw)
+
+
+def _scan_reference(cond, w, sample_fn):
+    """Pure-jnp replication of the kernel recurrence with injected sampling."""
+    cond = cond.astype(jnp.float32)
     d = D
     h1 = jnp.zeros((B, d))
     h2 = jnp.zeros((B, d))
     x_prev = jnp.zeros((B, 1))
     logits_all = []
     for t in range(T):
-        inp = i_s[t] + x_prev * w["ix"][0][None, :]
+        c = cond[t]
+        mel_a1 = c[:, :FEAT + ADIM]
+        a2 = c[:, FEAT + ADIM:FEAT + 2 * ADIM]
+        a3 = c[:, FEAT + 2 * ADIM:FEAT + 3 * ADIM]
+        a4 = c[:, FEAT + 3 * ADIM:]
+        inp = mel_a1 @ w["W_I"][1:] + w["b_I"] + x_prev * w["W_I"][0][None, :]
         gi1 = inp @ w["wi1"] + w["bi1"]
         gh1 = h1 @ w["wh1"] + w["bh1"]
         r = jax.nn.sigmoid(gi1[:, :d] + gh1[:, :d])
@@ -58,15 +75,15 @@ def _scan_reference(streams, w, sample_fn):
         n = jnp.tanh(gi1[:, 2 * d:] + r * gh1[:, 2 * d:])
         h1 = (1 - z) * n + z * h1
         x = inp + h1
-        gi2 = x @ w["w2x"] + gi2_s[t]
+        gi2 = x @ w["w2x"] + a2 @ w["w2a"] + w["bi2"]
         gh2 = h2 @ w["wh2"] + w["bh2"]
         r = jax.nn.sigmoid(gi2[:, :d] + gh2[:, :d])
         z = jax.nn.sigmoid(gi2[:, d:2 * d] + gh2[:, d:2 * d])
         n = jnp.tanh(gi2[:, 2 * d:] + r * gh2[:, 2 * d:])
         h2 = (1 - z) * n + z * h2
         x = x + h2
-        y = jax.nn.relu(x @ w["wf1x"] + f1_s[t])
-        y = jax.nn.relu(y @ w["wf2x"] + f2_s[t])
+        y = jax.nn.relu(x @ w["wf1x"] + a3 @ w["wf1a"] + w["bf1"])
+        y = jax.nn.relu(y @ w["wf2x"] + a4 @ w["wf2a"] + w["bf2"])
         logits = y @ w["wf3"] + w["bf3"]
         logits_all.append(logits)
         x_prev = sample_fn(logits)
@@ -81,32 +98,23 @@ class TestKernelInterpret:
         n_classes = 16
         w = _weights(key, n_classes)
         w["wf3"] = w["wf3"] * 100.0  # peaky logits -> argmax sampling
-        streams = _streams(jax.random.fold_in(key, 1))
+        cond = _cond(jax.random.fold_in(key, 1))
 
         def sample_fn(logits):
             cls = jnp.argmax(logits, -1).astype(jnp.float32)
             return (2.0 * cls / (n_classes - 1.0) - 1.0)[:, None]
 
-        logits_ref = _scan_reference(streams, w, sample_fn)
+        logits_ref = _scan_reference(cond, w, sample_fn)
         want = 2.0 * jnp.argmax(logits_ref, -1) / (n_classes - 1.0) - 1.0
-
-        got = wavernn_sample_loop(
-            *streams, w["ix"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
-            w["w2x"], w["wh2"], w["bh2"], w["wf1x"], w["wf2x"], w["wf3"],
-            w["bf3"], seed=3, mode="RAW", n_classes=n_classes, chunk=4,
-            interpret=True, weight_dtype=jnp.float32)
+        got = _call_kernel(cond, w, seed=3, mode="RAW", n_classes=n_classes)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
 
     def test_mol_mode_runs_and_bounded(self):
         key = jax.random.PRNGKey(2)
         w = _weights(key, 30)
-        streams = _streams(jax.random.fold_in(key, 3))
-        got = wavernn_sample_loop(
-            *streams, w["ix"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
-            w["w2x"], w["wh2"], w["bh2"], w["wf1x"], w["wf2x"], w["wf3"],
-            w["bf3"], seed=5, mode="MOL", chunk=4, interpret=True,
-            weight_dtype=jnp.float32)
+        cond = _cond(jax.random.fold_in(key, 3))
+        got = _call_kernel(cond, w, seed=5, mode="MOL")
         arr = np.asarray(got)
         assert arr.shape == (T, B)
         assert np.isfinite(arr).all()
@@ -117,16 +125,11 @@ class TestKernelInterpret:
         land on that constant regardless of mixture choice."""
         key = jax.random.PRNGKey(4)
         w = _weights(key, 30)
-        # zero weights into fc3; bias sets mixture params directly
         w["wf3"] = jnp.zeros_like(w["wf3"])
         bf3 = np.zeros(30, np.float32)
         bf3[10:20] = 0.5     # means
         bf3[20:30] = -8.0    # log scales (tiny)
         w["bf3"] = jnp.asarray(bf3)
-        streams = _streams(jax.random.fold_in(key, 5))
-        got = wavernn_sample_loop(
-            *streams, w["ix"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
-            w["w2x"], w["wh2"], w["bh2"], w["wf1x"], w["wf2x"], w["wf3"],
-            w["bf3"], seed=7, mode="MOL", chunk=4, interpret=True,
-            weight_dtype=jnp.float32)
+        cond = _cond(jax.random.fold_in(key, 5))
+        got = _call_kernel(cond, w, seed=7, mode="MOL")
         np.testing.assert_allclose(np.asarray(got), 0.5, atol=0.02)
