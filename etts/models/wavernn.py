@@ -20,6 +20,7 @@ The mixture-of-logistics loss/sampling reproduce
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import jax
@@ -305,6 +306,26 @@ def _split_gates(w, d):
     return w[:, :d], w[:, d:2 * d], w[:, 2 * d:]
 
 
+@functools.partial(jax.jit, static_argnames=("model", "target", "overlap",
+                                              "batched"))
+def _upsample_and_fold(model: WaveRNN, variables, mels, target, overlap,
+                       batched):
+    """Jitted: pad -> upsample conditioning -> (optionally) fold."""
+    mels = jnp.pad(mels, ((0, 0), (model.pad, model.pad), (0, 0)))
+    mels_up, aux = model.apply(variables, mels, False,
+                               method=WaveRNN.upsample_cond)
+    if batched:
+        mels_up = fold_with_overlap(mels_up, target, overlap)
+        aux = fold_with_overlap(aux, target, overlap)
+    return mels_up, aux
+
+
+@functools.partial(jax.jit, static_argnames=("model", "batched", "overlap",
+                                             "mu_law", "wave_len"))
+def _finalize_jit(model: WaveRNN, output, batched, overlap, mu_law, wave_len):
+    return _finalize(output, batched, overlap, mu_law, model, wave_len)
+
+
 def _conditioning_streams(model: WaveRNN, params, mels_up, aux):
     """Hoist every conditioning-dependent projection into batched matmuls.
 
@@ -416,13 +437,8 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
     b0, t_mel, _ = mels.shape
     assert b0 == 1, "generate() vocodes one utterance; see generate_batch()"
     wave_len = (t_mel - 1) * model.hop_length
-    # pad the mel so the resnet sees context (pad_tensor + upsample indent)
-    mels = jnp.pad(mels, ((0, 0), (model.pad, model.pad), (0, 0)))
-    mels_up, aux = model.apply(variables, mels, False,
-                               method=WaveRNN.upsample_cond)
-    if batched:
-        mels_up = fold_with_overlap(mels_up, target, overlap)
-        aux = fold_with_overlap(aux, target, overlap)
+    mels_up, aux = _upsample_and_fold(model, variables, mels, target, overlap,
+                                      batched)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     from ..ops.pallas import pallas_available
@@ -433,7 +449,7 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
         output = _run_sample_loop(model, streams, w, key)
-    return _finalize(output, batched, overlap, mu_law, model, wave_len)
+    return _finalize_jit(model, output, batched, overlap, mu_law, wave_len)
 
 
 def generate_batch(model: WaveRNN, variables, mels_list, *,
@@ -456,11 +472,8 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
         if mel.ndim == 2:
             mel = mel[None]
         wave_lens.append((mel.shape[1] - 1) * model.hop_length)
-        mel = jnp.pad(mel, ((0, 0), (model.pad, model.pad), (0, 0)))
-        mu, au = model.apply(variables, mel, False,
-                             method=WaveRNN.upsample_cond)
-        mu = fold_with_overlap(mu, target, overlap)
-        au = fold_with_overlap(au, target, overlap)
+        mu, au = _upsample_and_fold(model, variables, mel, target, overlap,
+                                    True)
         counts.append(mu.shape[0])
         ups.append(mu)
         auxs.append(au)
@@ -480,7 +493,8 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     for count, wave_len in zip(counts, wave_lens):
         rows = output[ofs:ofs + count]
         ofs += count
-        wavs.append(_finalize(rows, True, overlap, mu_law, model, wave_len))
+        wavs.append(_finalize_jit(model, rows, True, overlap, mu_law,
+                                  wave_len))
     return wavs
 
 
