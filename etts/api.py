@@ -68,6 +68,34 @@ class TTSSynthesizer:
         return {"mel": np.asarray(out["mel"][0][:n]),
                 "gst_tokens": out.get("gst_tokens")}
 
+    def predict_many(self, texts, ref_mel=None, spk_embed=None,
+                     max_length=1000, key=None):
+        """Batch-synthesize several sentences in ONE decode (serving path):
+        token sequences pad to a common length, the while_loop decodes all
+        rows with per-utterance stop tracking. Returns a list of mels."""
+        from .models.autoregressive import autoregressive_predict
+        seqs = [self.encode_text(t) for t in texts]
+        n = max(len(s) for s in seqs)
+        inp = np.zeros((len(seqs), n), np.int32)
+        for i, s in enumerate(seqs):
+            inp[i, :len(s)] = s
+        ref = None
+        if ref_mel is not None and self.model.has_style:
+            ref = self.model.encode_ref(jnp.asarray(ref_mel), r=self.r)
+            ref = jnp.tile(ref, (len(seqs), 1, 1))
+        spk = None
+        if spk_embed is not None and self.model.has_speaker:
+            spk = jnp.tile(jnp.asarray(spk_embed).reshape(1, 1, -1),
+                           (len(seqs), 1, 1))
+        out = autoregressive_predict(
+            self.model, self.variables, jnp.asarray(inp), ref, spk, r=self.r,
+            max_length=max_length,
+            key=key if key is not None else jax.random.PRNGKey(0),
+            prenet_dropout=self.prenet_dropout)
+        lengths = np.asarray(out["mel_lengths"])
+        return [np.asarray(out["mel"][i][:int(lengths[i])])
+                for i in range(len(seqs))]
+
     def mel_from_wav(self, wav):
         """Reference-audio wav -> normalized mel (t, n_mels)."""
         return np.asarray(self.audio.mel_spectrogram(np.asarray(wav))).T

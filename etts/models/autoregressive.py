@@ -333,11 +333,11 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
     start = jnp.full((b, 1, mel_ch), model.mel_start_value, model.dtype)
 
     def cond(carry):
-        i, done, *_ = carry
-        return jnp.logical_and(i < max_steps, jnp.logical_not(done))
+        i, stopped_vec, *_ = carry
+        return jnp.logical_and(i < max_steps, jnp.logical_not(stopped_vec.all()))
 
     def body(carry):
-        i, done, last, caches, lin_buf, out_buf, length = carry
+        i, stopped_vec, last, caches, lin_buf, out_buf, lengths = carry
         k1, k2 = jax.random.split(jax.random.fold_in(dkey, i))
         mel_r, new_caches = model.apply(
             variables, last, enc_out, cross_mask, caches, i, r,
@@ -353,16 +353,22 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
         final_r = post["final_output"][:, -r:, :]
         out_buf2 = jax.lax.dynamic_update_slice(out_buf, final_r, (0, i * r, 0))
         stop_logits = post["stop_prob"][:, -1]
-        stopped = (jnp.argmax(stop_logits, axis=-1)
-                   == model.stop_prob_index).all() if stop_enabled \
-            else jnp.bool_(False)
+        if stop_enabled:
+            stop_now = (jnp.argmax(stop_logits, axis=-1)
+                        == model.stop_prob_index)
+        else:
+            stop_now = jnp.zeros((b,), bool)
+        # per-utterance length: frames up to and including the stopping step
+        new_lengths = jnp.where(stopped_vec, lengths, (i + 1) * r)
         next_input = final_r[:, -1:, :]
-        return (i + 1, stopped, next_input, new_caches, lin_buf2, out_buf2,
-                jnp.where(done, length, (i + 1) * r))
+        return (i + 1, stopped_vec | stop_now, next_input, new_caches,
+                lin_buf2, out_buf2, new_lengths)
 
-    init = (jnp.int32(0), jnp.bool_(False), start, caches, lin_buf, out_buf,
-            jnp.int32(0))
-    i, done, _, _, _, out_buf, length = jax.lax.while_loop(cond, body, init)
-    return {"mel": out_buf, "mel_length": length, "steps": i,
+    init = (jnp.int32(0), jnp.zeros((b,), bool), start, caches, lin_buf,
+            out_buf, jnp.zeros((b,), jnp.int32))
+    i, stopped_vec, _, _, _, out_buf, lengths = jax.lax.while_loop(cond, body,
+                                                                   init)
+    return {"mel": out_buf, "mel_lengths": lengths,
+            "mel_length": lengths.max(), "steps": i,
             "text_encoder_attention": text_attn,
             "gst_encoder_attention": gst_attn, "gst_tokens": gst_tokens}

@@ -181,3 +181,17 @@ class TestAutoregressive:
         inc = jnp.concatenate(outs, axis=1)
         np.testing.assert_allclose(np.asarray(full["linear"]), np.asarray(inc),
                                    atol=2e-4)
+
+    def test_batched_predict_per_utterance_lengths(self):
+        """Multi-sentence decode tracks per-row stop lengths."""
+        model, variables = self._init("text")
+        x = jnp.stack([jnp.ones(7, jnp.int32),
+                       jnp.concatenate([jnp.ones(4, jnp.int32),
+                                        jnp.zeros(3, jnp.int32)])])
+        out = autoregressive_predict(model, variables, x, None, None, r=2,
+                                     max_length=16,
+                                     key=jax.random.PRNGKey(0))
+        lengths = np.asarray(out["mel_lengths"])
+        assert lengths.shape == (2,)
+        assert (lengths >= 2).all()
+        assert int(out["mel_length"]) == lengths.max()
