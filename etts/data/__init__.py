@@ -1,2 +1,3 @@
 from .dataset import (Dataset, DataPrepper, ForwardDataPrepper, load_files,
-                      VocoderDataset, collate_vocoder, pad_to_multiple)
+                      VocoderDataset, collate_vocoder, pad_to_multiple,
+                      Prefetcher)

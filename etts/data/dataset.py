@@ -255,3 +255,47 @@ def collate_vocoder(batch, seq_len: int, hop_length: int, pad: int,
         y = _label_to_float(y.astype(np.float32), x_bits)
     # models take (b, t_mel, n_mels)
     return x, y, mels.transpose(0, 2, 1)
+
+
+class Prefetcher:
+    """Background-thread batch prefetch: overlaps host-side loading/collation
+    with device compute (the role of the reference's DataFeeder thread +
+    tf.FIFOQueue, `gst_tacotron/datasets/datafeeder.py:18-97`, and tf.data's
+    prefetch). Wraps any object with ``next_batch()``."""
+
+    def __init__(self, dataset, depth: int = 2, device_put=None):
+        import queue
+        import threading
+        self.dataset = dataset
+        self._q = queue.Queue(maxsize=depth)
+        self._device_put = device_put
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self.dataset.next_batch()
+            if self._device_put is not None:
+                batch = self._device_put(batch)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.2)
+                    break
+                except Exception:  # queue.Full
+                    continue
+
+    def next_batch(self):
+        return self._q.get()
+
+    def change_batches(self, batch_size: int):
+        # drain, switch, refill
+        self.dataset.change_batches(batch_size)
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+    def stop(self):
+        self._stop.set()

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import tqdm
 
-from etts.data import Dataset, DataPrepper, load_files
+from etts.data import Dataset, DataPrepper, Prefetcher, load_files
 from etts.models.autoregressive import autoregressive_predict, AutoregressiveTransformer
 from etts.models.mine import MINE, CLUB, MIState
 from etts.parallel import make_mesh, shard_batch, replicate
@@ -86,7 +86,8 @@ def main():
                             config.get("n_samples"))
     prepper = DataPrepper(config, pipeline.tokenizer)
     tts_batch = config.get("tts_batch_size", 8)
-    dataset = Dataset(samples, prepper, tts_batch, mel_channels=config["mel_channels"])
+    dataset = Prefetcher(Dataset(samples, prepper, tts_batch,
+                                 mel_channels=config["mel_channels"]))
     mine_dataset = None
     if config.get("use_mine"):
         mine_bs = reduction_schedule(0, config["mine_batch_size_schedule"])

@@ -160,3 +160,18 @@ class TestTransplant:
         mask = text_encoder_freeze_mask(target)
         assert mask["TextEncoder"]["w"] is True
         assert mask["Decoder"]["w"] is False
+
+
+class TestPrefetcher:
+    def test_prefetch_delivers_batches(self, tmp_path):
+        from etts.data import Prefetcher
+        meta, meldir = _mk_samples(tmp_path)
+        samples, _ = load_files(meta, meldir)
+        prep = DataPrepper(CONFIG, FakeTokenizer())
+        ds = Prefetcher(Dataset(samples, prep, 2, mel_channels=8))
+        shapes = set()
+        for _ in range(6):
+            mel, tokens, stop, spk = ds.next_batch()
+            assert mel.shape[0] == 2
+            shapes.add(mel.shape)
+        ds.stop()
