@@ -56,5 +56,17 @@ class AudioProcessor:
 
     def reconstruct_waveform(self, mel, n_iter: int = 32) -> jax.Array:
         """Normalized mel (mel_channels, t) -> waveform via Griffin-Lim
-        (`TransformerTTS/utils/audio.py:42-58` behavior)."""
-        return self._reconstruct(jnp.asarray(mel, jnp.float32), n_iter)
+        (`TransformerTTS/utils/audio.py:42-58` behavior).
+
+        Very short mels (early stop-token fires) are right-padded with
+        near-silence so the ISTFT/reflect-pad chain stays valid; the output is
+        trimmed back to hop*t samples."""
+        mel = jnp.asarray(mel, jnp.float32)
+        t = mel.shape[1]
+        t_min = self.n_fft // self.hop_length + 2
+        if t < t_min:
+            pad_val = float(self.normalizer.normalize(jnp.asarray(1e-5)))
+            mel = jnp.pad(mel, ((0, 0), (0, t_min - t)),
+                          constant_values=pad_val)
+        wav = self._reconstruct(mel, n_iter)
+        return wav[: self.hop_length * t]

@@ -23,4 +23,5 @@ def enable_compilation_cache():
         pass
 
 
+force_cpu_if_requested()
 enable_compilation_cache()

@@ -70,8 +70,10 @@ def main():
             last_key = sorted(out["decoder_attention"].keys())[-1]
             attention = np.asarray(out["decoder_attention"][last_key])
             mel, phonemes, stop, spk = batch
-            mels_for_store = (np.asarray(mel)[:, 1:, :] if args.use_GT
-                              else np.asarray(out["final_output"]))
+            # masks/unpadding always come from the GT mel (reliable all-zero
+            # padding); when --use_GT is off, store the model's teacher-forced
+            # prediction instead (final_output[f] aligns with mel[1+f])
+            predicted = np.asarray(out["final_output"])
             durations, unpad_mels, unpad_phon, final_align = \
                 get_durations_from_alignment(
                     attention, np.asarray(mel), np.asarray(phonemes),
@@ -79,7 +81,10 @@ def main():
                     fix_jumps=args.fix_jumps, fill_gaps=True,
                     fill_mode=fill_mode)
             for i in range(len(durations)):
-                sample = np.array([unpad_mels[i], unpad_phon[i],
+                store_mel = unpad_mels[i]
+                if not args.use_GT:
+                    store_mel = predicted[i, :unpad_mels[i].shape[0], :]
+                sample = np.array([store_mel, unpad_phon[i],
                                    durations[i]], dtype=object)
                 np.save(out_dir / f"{split}_{idx}.npy", sample,
                         allow_pickle=True)
