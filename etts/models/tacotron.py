@@ -29,6 +29,7 @@ from typing import Any, Sequence
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 from .layers import variable_rate_dropout
 from ..ops.gru import gru_scan
@@ -191,7 +192,7 @@ class StyleAttention(nn.Module):
                                 (1, d), self.dtype)[0]
             if self.normalize:
                 g = self.param("attention_g",
-                               nn.initializers.constant(float(jnp.sqrt(1.0 / d))),
+                               nn.initializers.constant(float(np.sqrt(1.0 / d))),
                                (), self.dtype)
                 bias = self.param("attention_b", nn.initializers.zeros,
                                   (d,), self.dtype)

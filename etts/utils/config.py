@@ -232,6 +232,7 @@ class ConfigManager:
             reference_filters=tuple(c.get("reference_filters",
                                           (32, 32, 64, 64, 128, 128))),
             reference_depth=c.get("reference_depth", 128),
+            cbhg_width=c.get("cbhg_width", 128),
             max_iters=c.get("max_iters", 1000))
 
     # -- session dirs / dumping ---------------------------------------------------

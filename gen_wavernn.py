@@ -37,9 +37,14 @@ def main():
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    n_mels = voc.model.feat_dims
+
     def vocode(mel, name):
         mel = np.asarray(mel, np.float32)
-        if mel.shape[0] < mel.shape[1]:  # (n_mels, t) -> (t, n_mels)
+        # accept (n_mels, t) (the store layout) or (t, n_mels)
+        if mel.shape[0] == n_mels and mel.shape[1] != n_mels:
+            mel = mel.T
+        elif mel.shape[1] != n_mels and mel.shape[0] < mel.shape[1]:
             mel = mel.T
         wav = voc.generate(mel, batched=args.batched, target=args.target,
                            overlap=args.overlap)
