@@ -103,3 +103,19 @@ class TestNoam:
         # at warmup_steps the two branches meet: lr = init
         np.testing.assert_allclose(float(noam_learning_rate(0.002, 3999)),
                                    0.002, rtol=1e-3)
+
+
+class TestTrainStepJit:
+    def test_jitted_train_step_runs(self):
+        """Regression: modules must trace cleanly under the jitted train step
+        (a jnp-in-initializer bug only surfaced under jit)."""
+        from etts.train import TrainState, make_optimizer, \
+            make_tacotron_train_step
+        model, variables, (inputs, lengths, mel, linear) = _init()
+        tx = make_optimizer([[0, 1e-3]], b2=0.999, clip_norm=1.0)
+        state = TrainState.create(variables, tx)
+        step = make_tacotron_train_step(model, tx)
+        state, metrics = step(state, (inputs, lengths, mel, linear),
+                              jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
