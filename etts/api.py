@@ -34,9 +34,34 @@ class TTSSynthesizer:
         self.prenet_dropout = sched.get("decoder_prenet_dropout", 0.5)
         self.audio = AudioProcessor(self.config)
         self.pipeline = self.cm.get_text_pipeline()
+        self._decode_cache = {}
 
     def encode_text(self, text: str):
         return np.asarray(self.pipeline(text), np.int32)
+
+    def _decode_fn(self, max_length: int):
+        """Cached jitted AR decode (the whole encode+while_loop as ONE XLA
+        program; eager lax dispatch costs ~100x for serving). Retraces per
+        (batch, text_len, ref_len) shape bucket inside jax.jit's own cache."""
+        if max_length not in self._decode_cache:
+            from .models.autoregressive import autoregressive_predict
+
+            @jax.jit
+            def fn(variables, inp, ref, spk, key):
+                return autoregressive_predict(
+                    self.model, variables, inp, ref, spk, r=self.r,
+                    max_length=max_length, key=key,
+                    prenet_dropout=self.prenet_dropout)
+
+            self._decode_cache[max_length] = fn
+        return self._decode_cache[max_length]
+
+    def _run_decode(self, inp, ref, spk, max_length, key):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        fn = self._decode_fn(max_length)
+        return fn(self.variables, inp,
+                  ref if self.model.has_style else None,
+                  spk if self.model.has_speaker else None, key)
 
     def predict(self, text, ref_mel=None, spk_embed=None, max_length=1000,
                 key=None, speed_regulator=1.0):
@@ -49,7 +74,6 @@ class TTSSynthesizer:
                       "prenet": key if key is not None else jax.random.PRNGKey(0)})
             n = int(out["mel_lengths"][0])
             return {"mel": np.asarray(out["mel"][0][:n])}
-        from .models.autoregressive import autoregressive_predict
         inp = jnp.asarray(self.encode_text(text))[None]
         ref = None
         if ref_mel is not None:
@@ -57,13 +81,7 @@ class TTSSynthesizer:
         spk = None
         if spk_embed is not None:
             spk = jnp.asarray(spk_embed).reshape(1, 1, -1)
-        out = autoregressive_predict(
-            self.model, self.variables, inp,
-            ref if self.model.has_style else None,
-            spk if self.model.has_speaker else None, r=self.r,
-            max_length=max_length,
-            key=key if key is not None else jax.random.PRNGKey(0),
-            prenet_dropout=self.prenet_dropout)
+        out = self._run_decode(inp, ref, spk, max_length, key)
         n = int(out["mel_length"])
         return {"mel": np.asarray(out["mel"][0][:n]),
                 "gst_tokens": out.get("gst_tokens")}
@@ -73,7 +91,6 @@ class TTSSynthesizer:
         """Batch-synthesize several sentences in ONE decode (serving path):
         token sequences pad to a common length, the while_loop decodes all
         rows with per-utterance stop tracking. Returns a list of mels."""
-        from .models.autoregressive import autoregressive_predict
         seqs = [self.encode_text(t) for t in texts]
         n = max(len(s) for s in seqs)
         inp = np.zeros((len(seqs), n), np.int32)
@@ -87,11 +104,7 @@ class TTSSynthesizer:
         if spk_embed is not None and self.model.has_speaker:
             spk = jnp.tile(jnp.asarray(spk_embed).reshape(1, 1, -1),
                            (len(seqs), 1, 1))
-        out = autoregressive_predict(
-            self.model, self.variables, jnp.asarray(inp), ref, spk, r=self.r,
-            max_length=max_length,
-            key=key if key is not None else jax.random.PRNGKey(0),
-            prenet_dropout=self.prenet_dropout)
+        out = self._run_decode(jnp.asarray(inp), ref, spk, max_length, key)
         lengths = np.asarray(out["mel_lengths"])
         return [np.asarray(out["mel"][i][:int(lengths[i])])
                 for i in range(len(seqs))]
@@ -111,7 +124,6 @@ class VocoderSynthesizer:
         self.config = self.cm.config
         self.model = self.cm.get_model(ignore_hash=True)
         variables = _init_variables(self.model, self.config, "wavernn")
-        import numpy as np
         tree = {"params": variables["params"],
                 "batch_stats": variables.get("batch_stats", {}),
                 "step": np.int32(0)}
@@ -163,7 +175,6 @@ class TacotronSynthesizer:
         self.config = self.cm.config
         self.model = self.cm.get_model(ignore_hash=True)
         variables = _init_variables(self.model, self.config, "tacotron")
-        import numpy as np
         tree = {"params": variables["params"],
                 "batch_stats": variables.get("batch_stats", {}),
                 "step": np.int32(0)}

@@ -5,7 +5,6 @@ via ctypes) with a pure-numpy fallback."""
 from __future__ import annotations
 
 import ctypes
-import os
 from pathlib import Path
 
 import numpy as np
@@ -50,8 +49,6 @@ def _native_lib():
 def _cost_matrix(x, y):
     x = np.atleast_2d(np.asarray(x, np.float64))
     y = np.atleast_2d(np.asarray(y, np.float64))
-    if x.shape[0] == 1 and x.ndim == 2 and x.shape[1] != y.shape[1]:
-        pass
     # pairwise euclidean
     x2 = np.sum(x ** 2, axis=1)[:, None]
     y2 = np.sum(y ** 2, axis=1)[None, :]
