@@ -61,7 +61,7 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
                w2x_ref, w2a_ref, wh2_ref, bi2_ref, bh2_ref,
                wf1x_ref, wf1a_ref, bf1_ref,
                wf2x_ref, wf2a_ref, bf2_ref,
-               wf3_ref, bf3_ref,
+               wf3_ref, bf3_ref, clsv_ref,
                out_ref,             # VMEM (chunk, B)
                h1_ref, h2_ref, x_ref):
         ci = pl.program_id(0)
@@ -150,8 +150,12 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
                 logit_probs = jnp.where(col < n_classes, logits, -1e9)
                 gumbel = logit_probs - jnp.log(-jnp.log(u))
                 gumbel = jnp.where(col < n_classes, gumbel, -jnp.inf)
-                cls = jnp.argmax(gumbel, axis=-1).astype(jnp.float32)
-                sample = 2.0 * cls / (n_classes - 1.0) - 1.0
+                kmax = jnp.argmax(gumbel, axis=-1)
+                # Mosaic legalizes neither i32->f32 converts (sitofp) nor
+                # float iota; select from a host-precomputed class-value row
+                sample = jnp.sum(
+                    jnp.where(col == kmax[:, None],
+                              clsv_ref[0][None, :], 0.0), axis=-1)
             out_ref[t, :] = sample
             x_ref[:] = jnp.broadcast_to(sample[:, None], (B, LANE))
             return 0
@@ -188,12 +192,17 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
     budget = 5 * 1024 * 1024
     max_chunk = max(8, (budget // (2 * stream_bytes_per_step)) // 8 * 8)
     chunk = min(chunk, max_chunk)
+    chunk = max(8, (chunk // 8) * 8)  # Mosaic: block sublane dim % 8 == 0
 
     T_pad = _round_up(T, chunk)
     cond = jnp.pad(cond, ((0, T_pad - T), (0, 0), (0, 0))).astype(jnp.bfloat16)
     wf3_p = jnp.pad(wf3, ((0, 0), (0, n_out - wf3.shape[1])))
     bf3_p = jnp.pad(bf3.reshape(1, -1), ((0, 0), (0, n_out - wf3.shape[1])),
                     constant_values=-1e9 if mode != "MOL" else 0.0)
+    # RAW sampling: sample value per class, computed on host (no in-kernel
+    # int->float conversion, which Mosaic cannot legalize)
+    cls_vals = (2.0 * jnp.arange(n_out, dtype=jnp.float32)
+                / max(n_classes - 1.0, 1.0) - 1.0).reshape(1, n_out)
 
     kernel = _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix,
                           n_classes, log_scale_min)
@@ -218,6 +227,7 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
             wspec((d, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc1
             wspec((fc, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc2
             wspec((fc, n_out)), wspec((1, n_out)),             # fc3
+            wspec((1, n_out)),                                 # class values
         ],
         out_specs=pl.BlockSpec((chunk, B), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -237,5 +247,5 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
       bi2.reshape(1, -1).astype(f32), bh2.reshape(1, -1).astype(f32),
       wf1x.astype(wdt), wf1a.astype(wdt), bf1.reshape(1, -1).astype(f32),
       wf2x.astype(wdt), wf2a.astype(wdt), bf2.reshape(1, -1).astype(f32),
-      wf3_p.astype(wdt), bf3_p.astype(f32))
+      wf3_p.astype(wdt), bf3_p.astype(f32), cls_vals)
     return out[:T]
