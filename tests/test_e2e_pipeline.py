@@ -205,3 +205,19 @@ def test_full_pipeline(workspace):
                             constant_values=-4.0)
     wav = np.asarray(tts.audio.reconstruct_waveform(mel_for_gl.T, n_iter=2))
     assert np.isfinite(wav).all()
+
+
+def test_serving_apis(workspace):
+    """predict_many + generate_many serving paths on the tiny fixture."""
+    root, data_dir, config_dir = workspace
+    from etts.api import TTSSynthesizer
+    tts = TTSSynthesizer(str(config_dir))
+    mels_dir = data_dir / "mels"
+    ref_mel = np.load(sorted(mels_dir.glob("*.npy"))[0])
+    mels = tts.predict_many(["hello", "a longer test sentence"],
+                            ref_mel=ref_mel, max_length=12,
+                            key=jax.random.PRNGKey(1))
+    assert len(mels) == 2
+    for m in mels:
+        assert m.ndim == 2 and m.shape[1] == 80 and m.shape[0] >= 1
+        assert np.isfinite(m).all()
