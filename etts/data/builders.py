@@ -9,6 +9,7 @@ host subprocess fan-out.
 from __future__ import annotations
 
 import pickle
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -33,12 +34,73 @@ def _read_metadata(meta_file, column_sep="|"):
     return rows
 
 
+_PHONEME_BATCH = 250  # sentences per worker batch (`create_dataset.py:61`)
+
+
+def _parallel_phonemize(phonemizer, texts, njobs):
+    """Fan phonemization out over ``njobs`` threads in 250-sentence batches
+    (the espeak backend shells out per chunk, so threads parallelize the
+    subprocess wall time; `create_dataset.py:16,61` used joblib with the same
+    batch size)."""
+    if njobs <= 1 or len(texts) <= 1:
+        return [phonemizer(t) for t in texts]
+    batches = [texts[i:i + _PHONEME_BATCH]
+               for i in range(0, len(texts), _PHONEME_BATCH)]
+
+    def run(batch):
+        return [phonemizer(t) for t in batch]
+
+    with ThreadPoolExecutor(max_workers=njobs) as pool:
+        out = []
+        for res in pool.map(run, batches):
+            out.extend(res)
+    return out
+
+
+def _pipelined_feature_extract(items, load_fn, compute_fn, save_fn, njobs,
+                               progress=True):
+    """IO-parallel / compute-serial extraction pipeline.
+
+    ``load_fn(item)`` and ``save_fn(item, result)`` run on a thread pool
+    (wav decode + npy writes release the GIL); ``compute_fn(item, loaded)``
+    runs serially on the main thread (the accelerator serializes anyway).
+    Mirrors the reference's ProcessPoolExecutor fan-out
+    (`gst_tacotron/datasets/ljspeech.py:23-33`) without forking around JAX.
+    """
+    it = range(len(items))
+    if progress:
+        try:
+            import tqdm
+            it = tqdm.tqdm(it)
+        except ImportError:
+            pass
+    results = []
+    if njobs <= 1:
+        for i in it:
+            results.append(save_fn(items[i], compute_fn(items[i],
+                                                        load_fn(items[i]))))
+        return results
+    with ThreadPoolExecutor(max_workers=njobs) as pool:
+        window = njobs * 2  # bounded prefetch of loads
+        loads = {i: pool.submit(load_fn, items[i])
+                 for i in range(min(window, len(items)))}
+        saves = []
+        for i in it:
+            loaded = loads.pop(i).result()
+            nxt = i + window
+            if nxt < len(items):
+                loads[nxt] = pool.submit(load_fn, items[nxt])
+            out = compute_fn(items[i], loaded)
+            saves.append(pool.submit(save_fn, items[i], out))
+        results = [s.result() for s in saves]
+    return results
+
+
 def build_tts_dataset(config: dict, *, cache_phonemes=True,
                       recompute_phonemes=False, column_sep="|", njobs=16,
                       phonemizer_backend=None, progress=True):
     """create_dataset.py:37-91 semantics: cleaned+phonemized metafiles and
     per-utterance mel .npy files (stored (t, n_mels) like the reference)."""
-    del njobs  # phonemizer backend fans out internally when using espeak
     data_dir = Path(config["data_directory"])
     target_dir = Path(config.get("train_data_directory") or data_dir)
     wav_dir = data_dir / config.get("wav_subdir_name", "wavs")
@@ -55,7 +117,8 @@ def build_tts_dataset(config: dict, *, cache_phonemes=True,
     else:
         rows = _read_metadata(meta_file, column_sep)
         cleaned = [(fn, pipeline.cleaner(tx)) for fn, tx in rows]
-        phonemes = [pipeline.phonemizer(tx) for _, tx in cleaned]
+        phonemes = _parallel_phonemize(pipeline.phonemizer,
+                                       [tx for _, tx in cleaned], njobs)
         audio_data = np.array([(fn, tx, ph) for (fn, tx), ph in
                                zip(cleaned, phonemes)])
         if cache_phonemes:
@@ -71,19 +134,20 @@ def build_tts_dataset(config: dict, *, cache_phonemes=True,
         f.writelines(lines[n_test:-1] if len(lines) > n_test + 1 else lines[n_test:])
 
     audio = AudioProcessor(config)
-    it = audio_data
-    if progress:
-        try:
-            import tqdm
-            it = tqdm.tqdm(audio_data)
-        except ImportError:
-            pass
-    for row in it:
-        filename = row[0]
-        y, _ = load_wav(str(wav_dir / (filename + ".wav")),
+
+    def _load(row):
+        y, _ = load_wav(str(wav_dir / (row[0] + ".wav")),
                         config["sampling_rate"])
-        mel = np.asarray(audio.mel_spectrogram(y))
-        np.save(mel_dir / filename, mel.T)  # (t, n_mels), reference layout
+        return y
+
+    def _compute(row, y):
+        return np.asarray(audio.mel_spectrogram(y))
+
+    def _save(row, mel):
+        np.save(mel_dir / row[0], mel.T)  # (t, n_mels), reference layout
+
+    _pipelined_feature_extract(list(audio_data), _load, _compute, _save,
+                               njobs, progress)
     return str(target_dir)
 
 
@@ -102,7 +166,7 @@ def _quantize(y, mode: str, bits: int, mu_law: bool, peak_norm: bool):
 
 def build_vocoder_dataset(wav_dir, out_dir, config: dict, *, mode="MOL",
                           bits=9, mu_law=True, peak_norm=False,
-                          extension=".wav", progress=True):
+                          extension=".wav", njobs=16, progress=True):
     """WaveRNN preprocess: {out}/mel/*.npy ((n_mels, t), WaveRNN layout),
     {out}/quant/*.npy, {out}/dataset.pkl with ids."""
     out = Path(out_dir)
@@ -110,23 +174,26 @@ def build_vocoder_dataset(wav_dir, out_dir, config: dict, *, mode="MOL",
     (out / "quant").mkdir(parents=True, exist_ok=True)
     audio = AudioProcessor({**config, "normalizer": "WaveRNN"})
     wavs = sorted(Path(wav_dir).glob(f"*{extension}"))
-    dataset = []
-    it = wavs
-    if progress:
-        try:
-            import tqdm
-            it = tqdm.tqdm(wavs)
-        except ImportError:
-            pass
-    for w in it:
+
+    def _load(w):
         y, _ = load_wav(str(w), config["sampling_rate"])
+        return y
+
+    def _compute(w, y):
         # vocoder convention: mel in [0, 1] ((x+4)/8 of the TTS range)
         mel = (np.asarray(audio.mel_spectrogram(y)) + 4.0) / 8.0
         quant = _quantize(y, mode, bits, mu_law, peak_norm)
+        return mel, quant
+
+    def _save(w, result):
+        mel, quant = result
         item_id = w.stem
         np.save(out / "mel" / f"{item_id}.npy", mel.astype(np.float32))
         np.save(out / "quant" / f"{item_id}.npy", quant)
-        dataset.append((item_id, mel.shape[-1]))
+        return (item_id, mel.shape[-1])
+
+    dataset = _pipelined_feature_extract(wavs, _load, _compute, _save, njobs,
+                                         progress)
     with open(out / "dataset.pkl", "wb") as f:
         pickle.dump(dataset, f)
     return str(out)

@@ -109,7 +109,7 @@ DATASET_FORMATS = {"ljspeech": _iter_ljspeech, "blizzard2013": _iter_ljspeech,
 def build_tacotron_dataset(config: dict, *, out_dir=None, column_sep="|",
                            dataset_format: str = "ljspeech",
                            max_out_frames: int | None = None,
-                           progress=True):
+                           njobs: int = 16, progress=True):
     """wavs + metadata -> {out}/taco-linear-*.npy, taco-mel-*.npy, train.txt
     (`gst_tacotron/preprocess.py` dispatch over `datasets/{ljspeech,blizzard,
     blizzard2013}.py`). ``dataset_format`` selects the reader; blizzard trims
@@ -123,29 +123,37 @@ def build_tacotron_dataset(config: dict, *, out_dir=None, column_sep="|",
                 dataset_format in ("ljspeech", "blizzard2013")
                 else reader(data_dir, config))
 
-    lines = []
-    it = rows
-    if progress:
-        try:
-            import tqdm
-            it = tqdm.tqdm(rows)
-        except ImportError:
-            pass
+    from .builders import _pipelined_feature_extract
+
     sr = config["sampling_rate"]
-    for idx, (wav_path, text, trim) in enumerate(it):
+
+    def _load(item):
+        _, (wav_path, text, trim) = item
         y, _ = load_wav(wav_path, sr)
         if trim is not None:
             start, end = trim
             y = y[int(start * sr): int(end * sr) if end else len(y)]
+        return y
+
+    def _compute(item, y):
         if max_out_frames is not None and \
                 len(y) > max_out_frames * config["hop_length"]:
-            continue
-        linear, mel = taco_linear_and_mel(y, config)
+            return None  # over-length: dropped, as the reference does
+        return taco_linear_and_mel(y, config)
+
+    def _save(item, result):
+        if result is None:
+            return None
+        idx, (_, text, _) = item
+        linear, mel = result
         lin_f = f"taco-linear-{idx:05d}.npy"
         mel_f = f"taco-mel-{idx:05d}.npy"
         np.save(out / lin_f, linear.astype(np.float32), allow_pickle=False)
         np.save(out / mel_f, mel.astype(np.float32), allow_pickle=False)
-        lines.append(f"{lin_f}|{mel_f}|{linear.shape[0]}|{text}\n")
+        return f"{lin_f}|{mel_f}|{linear.shape[0]}|{text}\n"
+
+    lines = _pipelined_feature_extract(list(enumerate(rows)), _load, _compute,
+                                       _save, njobs, progress)
     with open(out / "train.txt", "w", encoding="utf-8") as f:
-        f.writelines(lines)
+        f.writelines([ln for ln in lines if ln is not None])
     return str(out)

@@ -175,3 +175,48 @@ class TestPrefetcher:
             assert mel.shape[0] == 2
             shapes.add(mel.shape)
         ds.stop()
+
+
+class TestParallelBuilders:
+    """njobs fan-out must be byte-identical to the serial path."""
+
+    def _mk_wavs(self, tmp_path, n=5, sr=8000):
+        from etts.data.audio_io import save_wav
+        rng = np.random.default_rng(0)
+        wav_dir = tmp_path / "wavs"
+        wav_dir.mkdir()
+        for i in range(n):
+            save_wav(0.4 * rng.standard_normal(sr // 2 + 256 * i),
+                     str(wav_dir / f"u{i}.wav"), sr)
+        return wav_dir
+
+    def test_vocoder_builder_njobs_equivalence(self, tmp_path):
+        from etts.data.builders import build_vocoder_dataset
+        cfg = dict(sampling_rate=8000, n_fft=512, hop_length=128,
+                   win_length=512, mel_channels=8, f_min=0, f_max=None)
+        wav_dir = self._mk_wavs(tmp_path)
+        out1 = build_vocoder_dataset(wav_dir, tmp_path / "s1", cfg, mode="RAW",
+                                     bits=9, njobs=1, progress=False)
+        out4 = build_vocoder_dataset(wav_dir, tmp_path / "s4", cfg, mode="RAW",
+                                     bits=9, njobs=4, progress=False)
+        import pickle as pkl
+        with open(f"{out1}/dataset.pkl", "rb") as f:
+            d1 = pkl.load(f)
+        with open(f"{out4}/dataset.pkl", "rb") as f:
+            d4 = pkl.load(f)
+        assert d1 == d4 and len(d1) == 5
+        for item_id, _ in d1:
+            np.testing.assert_array_equal(
+                np.load(f"{out1}/mel/{item_id}.npy"),
+                np.load(f"{out4}/mel/{item_id}.npy"))
+            np.testing.assert_array_equal(
+                np.load(f"{out1}/quant/{item_id}.npy"),
+                np.load(f"{out4}/quant/{item_id}.npy"))
+
+    def test_parallel_phonemize_matches_serial(self):
+        from etts.data.builders import _parallel_phonemize
+        from etts.text.tokenizer import GraphemeBackend
+        texts = [f"hello world number {i}" for i in range(600)]
+        ph = GraphemeBackend()
+        assert _parallel_phonemize(ph, texts, 1) == \
+            _parallel_phonemize(ph, texts, 8)
