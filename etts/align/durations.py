@@ -54,19 +54,24 @@ def weight_mask(attention_weights):
 
 def fill_zeros(duration, take_from="next"):
     """Replace zero durations with 1, borrowing from the next nonzero or the
-    max (alignments.py:39-53)."""
+    max (alignments.py:39-53).
+
+    The reference's ``if avail:`` tested an int-or-array value; here ``avail``
+    is always a scalar donor offset. Offset 0 means "no donor": for 'next' it
+    cannot occur (duration[i] == 0 excludes i itself from the >1 candidates),
+    for 'max' it means every remaining duration is 0 — nothing to borrow.
+    Behavior is identical to the reference for all reachable inputs."""
     duration = np.asarray(duration).copy()
     for i in range(len(duration)):
         if i < (len(duration) - 1) and duration[i] == 0:
             if take_from == "next":
-                avail = np.where(duration[i:] > 1)[0]
-                if len(avail) > 1:
-                    avail = avail[0]
+                cands = np.where(duration[i:] > 1)[0]
+                avail = int(cands[0]) if len(cands) else 0
             else:  # 'max'
-                avail = np.argmax(duration[i:])
-            if avail:
+                avail = int(np.argmax(duration[i:]))
+            if avail > 0:
                 duration[i] = 1
-                duration[i + int(avail)] -= 1
+                duration[i + avail] -= 1
     return duration
 
 

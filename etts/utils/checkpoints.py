@@ -33,11 +33,21 @@ def tree_to_state(tree: dict, state):
 
 class CheckpointManager:
     def __init__(self, directory, max_to_keep: Optional[int] = None,
-                 keep_period: Optional[int] = None):
+                 keep_period: Optional[int] = None,
+                 keep_every_n_hours: Optional[float] = None):
+        """``keep_every_n_hours`` is the reference's time-based retention
+        (tf.train.CheckpointManager ``keep_checkpoint_every_n_hours``,
+        `TransformerTTS/train_forward.py:105-111`) on top of the step-based
+        ``keep_period``."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        keep_time = None
+        if keep_every_n_hours is not None:
+            import datetime
+            keep_time = datetime.timedelta(hours=float(keep_every_n_hours))
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                keep_period=keep_period,
+                                               keep_time_interval=keep_time,
                                                create=True)
         self._mngr = ocp.CheckpointManager(str(self.directory), options=options)
 

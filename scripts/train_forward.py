@@ -54,7 +54,9 @@ def main():
     tx = make_optimizer(config["learning_rate_tts_schedule"])
     state = TrainState.create(variables, tx)
     ckpt = CheckpointManager(cm.weights_dir,
-                             max_to_keep=config.get("keep_n_weights"))
+                             max_to_keep=config.get("keep_n_weights"),
+                             keep_every_n_hours=config.get(
+                                 "keep_checkpoint_every_n_hours"))
     state, rstep = ckpt.restore_state(state)
     if rstep is not None:
         print(f"restored weights at step {rstep}")
