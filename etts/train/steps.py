@@ -110,7 +110,15 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
                                    mi_weight_factor: float = 0.1,
                                    train_text_encoder: bool = True,
                                    train_style_encoder: bool = True,
-                                   train_decoder: bool = True):
+                                   train_decoder: bool = True,
+                                   adversarial_mine=None):
+    """``adversarial_mine``: optional zoo of ``(kind, net)`` MINE/CLUB modules
+    (as built by the driver). When given, the step signature becomes
+    ``step(state, batch, mine_params_list, mi_state, rng, *, r, ...)`` and the
+    MI estimate is computed INSIDE the TTS loss tape on the live embeddings, so
+    ``mi_weight_factor`` genuinely pushes the encoders toward disentanglement.
+    The faithful default (None) keeps the reference's gradient-free hinge on
+    the previous step's scalar (`traning_steps.py:53`)."""
     stop_ce = new_scaled_crossentropy(index=2, scaling=stop_scaling)
     loss_fns = (masked_mean_absolute_error, stop_ce,
                 masked_mean_absolute_error)
@@ -147,12 +155,30 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
                     mutable=["batch_stats"])[0]
                 style_loss = l2_loss(gst2, out["gst_output"])
             tts_total = tts_loss + style_loss
-            # MI hinge: previous-step MI, constant w.r.t. params (:53)
-            total = tts_total + mi_weight_factor * jnp.maximum(
-                0.0, jax.lax.stop_gradient(mi_loss))
-            return total, (tts_total, style_loss, vals, out, mut)
+            if adversarial_mine is not None:
+                # live MI inside the tape: gradients flow from the critic's
+                # estimate back into text/style embeddings (critic params are
+                # inputs, not differentiated — the adversarial game is real)
+                mine_params_list, mi_state = mi_loss
+                spk_m = (spk_in if model.has_speaker
+                         else jnp.zeros((tar_mel.shape[0], 1, 1)))
+                mi_live = jnp.zeros(())
+                for i, (kind, net) in enumerate(adversarial_mine):
+                    k = jax.random.fold_in(rng, 101 + i)
+                    res = net.apply({"params": mine_params_list[i]},
+                                    out["text_enc_output"], out["gst_output"],
+                                    spk_m, mi_state, k)
+                    # MINE -> (mi, terms); CLUB -> (lld, bound): use the bound
+                    mi_live = mi_live + (res[1] if kind == "CLUB" else res[0])
+                total = tts_total + mi_weight_factor * jnp.maximum(0.0, mi_live)
+            else:
+                # MI hinge: previous-step MI, constant w.r.t. params (:53)
+                mi_live = jax.lax.stop_gradient(
+                    jnp.asarray(mi_loss, jnp.float32))
+                total = tts_total + mi_weight_factor * jnp.maximum(0.0, mi_live)
+            return total, (tts_total, style_loss, vals, out, mut, mi_live)
 
-        (total, (tts_total, style_loss, vals, out, mut)), grads = \
+        (total, (tts_total, style_loss, vals, out, mut, mi_live)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         new_state = state.replace(
@@ -160,7 +186,7 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
             opt_state=opt_state, batch_stats=mut["batch_stats"],
             step=state.step + 1)
         metrics = {"loss": total, "tts_loss": tts_total,
-                   "style_loss": style_loss,
+                   "style_loss": style_loss, "mi_live": mi_live,
                    "losses": {"output": vals[0], "stop_prob": vals[1],
                               "mel_linear": vals[2]}}
         aux = {"text_enc_output": out["text_enc_output"],

@@ -20,7 +20,9 @@ import tqdm
 from etts.data import Dataset, DataPrepper, Prefetcher, load_files
 from etts.models.autoregressive import autoregressive_predict, AutoregressiveTransformer
 from etts.models.mine import MINE, CLUB, MIState
-from etts.parallel import make_mesh, shard_batch, replicate
+from etts.parallel import (make_mesh, shard_batch, replicate,
+                           local_shard, add_multihost_args,
+                           maybe_init_multihost)
 from etts.train import (TrainState, make_optimizer,
                         make_autoregressive_train_step, make_mine_update)
 from etts.utils import ConfigManager, CheckpointManager
@@ -60,7 +62,9 @@ def main():
                         help="skip interactive dir-reset prompts")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax profiler trace of steps 10-30")
+    add_multihost_args(parser)
     args = parser.parse_args()
+    maybe_init_multihost(args)  # before any jax device use
 
     np.random.seed(42)
     cm = ConfigManager(args.config, "autoregressive", args.session_name)
@@ -140,6 +144,11 @@ def main():
             mine_ckpts.append(mngr)
 
     # train step ---------------------------------------------------------------
+    # opt-in research mode: compute MI inside the TTS tape so the adversarial
+    # game is real (the faithful default keeps the reference's gradient-free
+    # previous-step hinge)
+    adversarial = bool(config.get("mine_adversarial")) and \
+        bool(config.get("use_mine"))
     train_step = make_autoregressive_train_step(
         model, tx,
         stop_scaling=config.get("stop_loss_scaling", 1.0),
@@ -147,7 +156,8 @@ def main():
         mi_weight_factor=config.get("mine_weight_factor", 0.1),
         train_text_encoder=config.get("train_text_encoder", True),
         train_style_encoder=config.get("train_style_encoder", True),
-        train_decoder=config.get("train_decoder", True))
+        train_decoder=config.get("train_decoder", True),
+        adversarial_mine=(mine_nets if adversarial else None))
 
     mesh = make_mesh(("data",)) if len(jax.devices()) > 1 else None
     if mesh is not None:
@@ -168,9 +178,11 @@ def main():
         prenet_dropout = piecewise_linear_schedule(
             step, config["decoder_prenet_dropout_schedule"])
         if mesh is not None:
-            batch = shard_batch(batch, mesh)
+            batch = shard_batch(local_shard(batch), mesh)
+        mi_arg = (([st.params for st in mine_states], mi_state)
+                  if adversarial else mi_state.mi_loss)
         state, metrics, aux = train_step(
-            state, batch, mi_state.mi_loss, jax.random.fold_in(key, step),
+            state, batch, mi_arg, jax.random.fold_in(key, step),
             r=r, prenet_dropout=prenet_dropout, drop_n_heads=drop_n)
 
         if config.get("use_mine"):

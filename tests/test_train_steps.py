@@ -124,6 +124,34 @@ class TestAutoregressiveTraining:
         assert "decoder_attention" in out
         assert np.isfinite(float(out["tts_loss"]))
 
+    def test_adversarial_mine_decreases_mi(self):
+        """With mine_adversarial on, the MI estimate is inside the TTS tape:
+        a fixed critic's MI estimate must DECREASE as the encoders train
+        against it (the reference's hinge is gradient-free and cannot do this)."""
+        model, state, _, batch, tx = self._setup()
+        key = jax.random.PRNGKey(5)
+        mine = MINE(pair_type="style_text", divergence_type="KL",
+                    dense_hidden_units=(16,))
+        mi_state = MIState.create(mine.n_beta, weight_factor=1.0)
+        # critic initialized on embeddings from a plain pass
+        plain = make_autoregressive_train_step(model, tx)
+        state, _, aux = plain(state, batch, jnp.zeros(()), key, r=5,
+                              prenet_dropout=0.0)
+        mine_vars = mine.init(key, aux["text_enc_output"], aux["gst_output"],
+                              batch[3][:, None, :], mi_state, key)
+        adv = make_autoregressive_train_step(
+            model, tx, mi_weight_factor=5.0,
+            adversarial_mine=[("MINE", mine)])
+        mi_vals = []
+        for i in range(12):
+            # fixed rng: same char pick/permutation -> deterministic objective
+            state, m, _ = adv(state, batch,
+                              ([mine_vars["params"]], mi_state), key,
+                              r=5, prenet_dropout=0.0)
+            mi_vals.append(float(m["mi_live"]))
+        assert np.isfinite(mi_vals[-1])
+        assert mi_vals[-1] < mi_vals[0], mi_vals
+
     def test_joint_mine_training(self):
         model, state, step, batch, _ = self._setup()
         key = jax.random.PRNGKey(4)
