@@ -1,0 +1,81 @@
+"""Multi-host data-parallel worker (run as ``python -m etts.parallel._multihost_worker``).
+
+Simulates one host of a DCN-style multi-process job on CPU devices: joins the
+cluster via ``init_multihost`` (jax.distributed), builds the global mesh, feeds
+this host its ``local_shard`` of a deterministic global batch, and runs ONE
+jitted data-parallel train step of a tiny ForwardTransformer. Prints
+``MULTIHOST_LOSS <value>`` — every process must print the same number, and it
+must match a single-process run of the same global batch (asserted by
+``tests/test_multihost.py`` and ``__graft_entry__.dryrun_multichip``).
+
+The reference has no multi-device code at all (SURVEY §2.5); this is the
+TPU-native multi-host story exercised end to end.
+"""
+import argparse
+import os
+import sys
+
+# must precede any jax import/device use
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, required=True)
+    parser.add_argument("--process_id", type=int, required=True)
+    parser.add_argument("--num_processes", type=int, default=2)
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    try:  # persistent compile cache: reruns of this worker skip XLA compile
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from etts.parallel import (init_multihost, make_mesh, shard_batch,
+                               replicate, local_shard)
+    from etts.train import TrainState, make_optimizer, make_forward_train_step
+    from etts.models.forward import ForwardTransformer
+
+    if args.num_processes > 1:
+        active = init_multihost(f"127.0.0.1:{args.port}",
+                                args.num_processes, args.process_id)
+        assert active and jax.process_count() == args.num_processes
+
+    model = ForwardTransformer(
+        encoder_model_dimension=32, decoder_model_dimension=32,
+        encoder_num_heads=(2, 2), decoder_num_heads=(2, 2),
+        encoder_dense_blocks=2, decoder_dense_blocks=2,
+        encoder_feed_forward_dimension=64, decoder_feed_forward_dimension=64,
+        encoder_attention_conv_filters=32, decoder_attention_conv_filters=32,
+        postnet_conv_filters=32, postnet_conv_layers=2, postnet_kernel_size=3,
+        mel_channels=12, vocab_size=40,
+        encoder_maximum_position_encoding=100,
+        decoder_maximum_position_encoding=300)
+    key = jax.random.PRNGKey(0)
+    # identical global batch on every host (same seed)
+    mel = jax.random.normal(key, (8, 20, 12))
+    phon = jax.random.randint(key, (8, 10), 1, 40)
+    durs = jnp.full((8, 10), 2.0)
+    variables = model.init({"params": key, "dropout": key, "prenet": key},
+                           phon, durs[..., None], max_frames=20)
+    tx = make_optimizer([[0, 1e-3]])
+    step = make_forward_train_step(model, tx, max_frames=20)
+
+    mesh = make_mesh(("data",))
+    state = replicate(TrainState.create(variables, tx), mesh)
+    batch = shard_batch(local_shard((mel, phon, durs)), mesh)
+    state, metrics = step(state, batch, key)
+    loss = float(metrics["loss"])
+    print(f"MULTIHOST_LOSS {loss:.8f}", flush=True)
+    assert jnp.isfinite(loss)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,7 +13,9 @@ import jax
 import tqdm
 
 from etts.data import Dataset, ForwardDataPrepper
-from etts.parallel import make_mesh, shard_batch, replicate
+from etts.parallel import (make_mesh, shard_batch, replicate,
+                           local_shard, add_multihost_args,
+                           maybe_init_multihost)
 from etts.train import (TrainState, make_optimizer, make_forward_train_step,
                         make_forward_val_step)
 from etts.utils import ConfigManager, CheckpointManager
@@ -26,7 +28,9 @@ def main():
     parser.add_argument("--session_name", type=str, default=None)
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--force", action="store_true")
+    add_multihost_args(parser)
     args = parser.parse_args()
+    maybe_init_multihost(args)  # before any jax device use
 
     np.random.seed(42)
     cm = ConfigManager(args.config, "forward", args.session_name)
@@ -74,7 +78,7 @@ def main():
     for step in t:
         b = dataset.next_batch()
         if mesh is not None:
-            b = shard_batch(b, mesh)
+            b = shard_batch(local_shard(b), mesh)
         state, metrics = train_step(state, b, jax.random.fold_in(key, step))
         t.set_postfix(loss=float(metrics["loss"]))
         for k, v in metrics.items():

@@ -14,7 +14,9 @@ import jax
 import tqdm
 
 from etts.models.tacotron import noam_learning_rate
-from etts.parallel import make_mesh, shard_batch, replicate
+from etts.parallel import (make_mesh, shard_batch, replicate,
+                           local_shard, add_multihost_args,
+                           maybe_init_multihost)
 from etts.train import TrainState, make_optimizer, make_tacotron_train_step
 from etts.text import text_to_sequence
 from etts.utils import ConfigManager, CheckpointManager
@@ -38,7 +40,9 @@ def main():
     parser.add_argument("--session_name", type=str, default=None)
     parser.add_argument("--max_steps", type=int, default=100_000)
     parser.add_argument("--force", action="store_true")
+    add_multihost_args(parser)
     args = parser.parse_args()
+    maybe_init_multihost(args)  # before any jax device use
 
     cm = ConfigManager(args.config, "tacotron", args.session_name)
     config = cm.config
@@ -104,7 +108,7 @@ def main():
     for step in t:
         b = next(it)
         if mesh is not None:
-            b = shard_batch(b, mesh)
+            b = shard_batch(local_shard(b), mesh)
         state, metrics = step_fn(state, b, jax.random.fold_in(key, step))
         loss = float(metrics["loss"])
         t.set_postfix(loss=loss)

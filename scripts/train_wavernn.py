@@ -18,7 +18,9 @@ import tqdm
 from etts.data import VocoderDataset, collate_vocoder
 from etts.data.audio_io import save_wav
 from etts.models.wavernn import generate
-from etts.parallel import make_mesh, shard_batch, replicate
+from etts.parallel import (make_mesh, shard_batch, replicate,
+                           local_shard, add_multihost_args,
+                           maybe_init_multihost)
 from etts.train import TrainState, make_optimizer, make_wavernn_train_step
 from etts.utils import ConfigManager, CheckpointManager
 from etts.utils.logging import SummaryManager
@@ -36,7 +38,9 @@ def main():
                         help="train on GTA mels (gta/ subdir)")
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--force", action="store_true")
+    add_multihost_args(parser)
     args = parser.parse_args()
+    maybe_init_multihost(args)  # before any jax device use
 
     cm = ConfigManager(args.config, "wavernn", args.session_name)
     config = cm.config
@@ -97,7 +101,7 @@ def main():
     for step in t:
         b = next(it)
         if mesh is not None:
-            b = shard_batch(b, mesh)
+            b = shard_batch(local_shard(b), mesh)
         state, metrics = step_fn(state, b, jax.random.fold_in(key, step))
         t.set_postfix(loss=float(metrics["loss"]))
         summary.add_scalar("train/loss", float(metrics["loss"]), step=step)
