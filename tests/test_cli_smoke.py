@@ -17,6 +17,7 @@ SCRIPTS = [
     "scripts/eval_tacotron.py",
     "scripts/export_gst_embeddings.py",
     "scripts/make_gta.py",
+    "scripts/preprocess_wavernn.py",
     "synthesize_sentences.py",
     "synthesize_sentences_speaker.py",
     "gen_wavernn.py",

@@ -161,3 +161,62 @@ class TestCMUDict:
         # READ(1) keys separately, as in the keithito parser; BAD;LINE is dropped
         d = CMUDict(io.StringIO(self.DATA))
         assert len(d) == 4
+
+
+class TestEspeakBackend:
+    """EspeakBackend subprocess/parsing path, exercised with a stub binary
+    (tests binary discovery, CLI args, newline collapse, stress stripping,
+    punctuation-preserving chunking) + a skip-if-missing real-espeak test."""
+
+    def _stub(self, tmp_path, monkeypatch, ipa="ˈkwɪk ˌtɛst\nsɛkənd"):
+        stub = tmp_path / "espeak-ng"
+        stub.write_text("#!/bin/sh\n"
+                        # last arg is the text chunk; echo canned IPA
+                        f"printf '%s\\n' '{ipa}'\n")
+        stub.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+        return stub
+
+    def test_stub_parsing_strips_stress_and_newlines(self, tmp_path,
+                                                     monkeypatch):
+        from etts.text.tokenizer import EspeakBackend
+        self._stub(tmp_path, monkeypatch)
+        b = EspeakBackend("en", with_stress=False)
+        assert str(tmp_path) in b.binary
+        out = b("whatever")
+        assert out == "kwɪk tɛst sɛkənd"  # newline -> space, stress dropped
+
+    def test_stub_keeps_stress_when_asked(self, tmp_path, monkeypatch):
+        from etts.text.tokenizer import EspeakBackend
+        self._stub(tmp_path, monkeypatch)
+        b = EspeakBackend("en", with_stress=True)
+        assert "ˈ" in b("whatever")
+
+    def test_punctuation_preserved_across_chunks(self, tmp_path, monkeypatch):
+        from etts.text.tokenizer import EspeakBackend
+        self._stub(tmp_path, monkeypatch, ipa="foo")
+        b = EspeakBackend("en")
+        assert b("Hello, world!") == "foo , foo !"
+
+    def test_language_mapping_en_us(self, tmp_path, monkeypatch):
+        from etts.text.tokenizer import EspeakBackend
+        # stub that records its args
+        stub = tmp_path / "espeak-ng"
+        stub.write_text("#!/bin/sh\necho \"$@\" > %s/args.txt\necho ok\n"
+                        % tmp_path)
+        stub.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+        b = EspeakBackend("en")
+        b("hi")
+        args = (tmp_path / "args.txt").read_text()
+        assert "-q --ipa -v en-us" in args
+
+    def test_real_espeak_if_installed(self):
+        import shutil
+        if not (shutil.which("espeak-ng") or shutil.which("espeak")):
+            pytest.skip("espeak not installed")
+        from etts.text.tokenizer import EspeakBackend
+        from etts.text.symbols import _phonemes
+        out = EspeakBackend("en")("hello world")
+        assert len(out) > 3
+        assert any(c in _phonemes for c in out)
