@@ -534,18 +534,21 @@ class ReferenceEncoderGST(nn.Module):
             x = jax.nn.relu(x)
         t = x.shape[1]
         x = x.reshape(b, t, -1)
+        # params stay fp32 (mixed-precision master copy); compute in self.dtype
         gru_params = {
             "wi": self.param("gru_wi", nn.initializers.lecun_normal(),
-                             (x.shape[-1], 3 * self.gru_cell_units), self.dtype),
+                             (x.shape[-1], 3 * self.gru_cell_units),
+                             jnp.float32),
             "wh": self.param("gru_wh", nn.initializers.orthogonal(),
                              (self.gru_cell_units, 3 * self.gru_cell_units),
-                             self.dtype),
+                             jnp.float32),
             "bi": self.param("gru_bi", nn.initializers.zeros,
-                             (3 * self.gru_cell_units,), self.dtype),
+                             (3 * self.gru_cell_units,), jnp.float32),
             "bh": self.param("gru_bh", nn.initializers.zeros,
-                             (3 * self.gru_cell_units,), self.dtype),
+                             (3 * self.gru_cell_units,), jnp.float32),
         }
-        rnn_out, _ = gru_scan(gru_params, x)
+        gru_params = jax.tree.map(lambda p: p.astype(self.dtype), gru_params)
+        rnn_out, _ = gru_scan(gru_params, x.astype(self.dtype))
         # last GRU state, tanh-projected (the GST paper's reference embedding)
         ref = nn.Dense(self.gru_cell_units, dtype=self.dtype,
                        name="rnn_proj")(rnn_out[:, -1, :])
@@ -555,8 +558,9 @@ class ReferenceEncoderGST(nn.Module):
             "gst_tokens",
             nn.initializers.truncated_normal(stddev=0.5),
             (self.gst_heads, self.gst_style_embed_dim // self.multi_num_heads),
-            self.dtype)
-        token_bank = jnp.tanh(jnp.tile(tokens[None], (b, 1, 1)))
+            jnp.float32)
+        token_bank = jnp.tanh(jnp.tile(tokens[None].astype(self.dtype),
+                                       (b, 1, 1)))
         out, attn, _ = MultiHeadAttention(self.gst_style_embed_dim,
                                           self.multi_num_heads, self.dtype,
                                           name="mha")(

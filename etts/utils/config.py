@@ -134,11 +134,17 @@ class ConfigManager:
         if not ignore_hash:
             self._check_hash()
         c = self.config
+        # mixed precision: bf16 compute, fp32 master params (config
+        # ``precision: bfloat16``); checkpoints are dtype-identical to fp32
+        import jax.numpy as jnp
+        _dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+               "bf16": jnp.bfloat16}[c.get("precision", "float32")]
         if self.model_kind == "autoregressive":
             from ..models.autoregressive import AutoregressiveTransformer
             vocab = self.get_text_pipeline().tokenizer.vocab_size
             return AutoregressiveTransformer(
                 system_type=c["system_type"],
+                dtype=_dt,
                 mel_channels=c["mel_channels"],
                 encoder_model_dimension=c["encoder_model_dimension"],
                 decoder_model_dimension=c["decoder_model_dimension"],
@@ -175,6 +181,7 @@ class ConfigManager:
             from ..models.forward import ForwardTransformer
             vocab = self.get_text_pipeline().tokenizer.vocab_size
             return ForwardTransformer(
+                dtype=_dt,
                 mel_channels=c["mel_channels"],
                 encoder_model_dimension=c["encoder_model_dimension"],
                 decoder_model_dimension=c["decoder_model_dimension"],

@@ -55,12 +55,14 @@ def _channel_mask(targets):
 
 
 def masked_mean_squared_error(targets, logits):
-    per_pos = jnp.mean(jnp.square(targets - logits), axis=-1)
+    diff = targets.astype(jnp.float32) - logits.astype(jnp.float32)
+    per_pos = jnp.mean(jnp.square(diff), axis=-1)
     return _weighted_mean(per_pos, _channel_mask(targets))
 
 
 def masked_mean_absolute_error(targets, logits):
-    per_pos = jnp.mean(jnp.abs(targets - logits), axis=-1)
+    diff = targets.astype(jnp.float32) - logits.astype(jnp.float32)
+    per_pos = jnp.mean(jnp.abs(diff), axis=-1)
     return _weighted_mean(per_pos, _channel_mask(targets))
 
 

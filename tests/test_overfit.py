@@ -67,3 +67,35 @@ def test_forward_overfits_single_batch():
         state, m = step(state, (mel, phon, durs), jax.random.fold_in(key, i))
         losses.append(float(m["mel_loss"]))
     assert losses[-1] < 0.3 * losses[0], (losses[0], losses[-1])
+
+
+def test_autoregressive_overfits_in_bfloat16():
+    """Mixed precision (bf16 compute / fp32 master params): the same overfit
+    recipe must converge, and params must remain fp32 throughout."""
+    model = AutoregressiveTransformer(system_type="text", max_r=2,
+                                      encoder_prenet_dimension=32,
+                                      decoder_prenet_dimension=32,
+                                      dtype=jnp.bfloat16, **TINY)
+    key = jax.random.PRNGKey(0)
+    t_mel = 13
+    mel = jax.random.normal(key, (2, t_mel, 8)) * 0.3
+    mel = mel.at[:, 0].set(0.5).at[:, -1].set(-0.5)
+    phon = jax.random.randint(key, (2, 6), 1, 30)
+    stop = jnp.ones((2, t_mel), jnp.int32).at[:, -1].set(2)
+    spk = jnp.zeros((2, 1))
+    batch = (mel, phon, stop, spk)
+    variables = model.init({"params": key, "dropout": key, "prenet": key},
+                           phon, mel[:, ::2], None, r=2)
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(variables["params"]))
+    tx = make_optimizer([[0, 3e-3]])
+    state = TrainState.create(variables, tx)
+    step = make_autoregressive_train_step(model, tx)
+    losses = []
+    for i in range(400):
+        state, m, _ = step(state, batch, jnp.zeros(()),
+                           jax.random.fold_in(key, i), r=2,
+                           prenet_dropout=0.0, drop_n_heads=0)
+        losses.append(float(m["losses"]["output"]))
+    assert losses[-1] < 0.35 * losses[0], (losses[0], losses[-1])
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
