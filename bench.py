@@ -9,7 +9,11 @@ stop-token early exit disabled so the decode length is fixed).
 Prints ONE json line:
   {"metric": "rtf_text_to_wav", "value": RTF, "unit": ..., "vs_baseline": ...}
 vs_baseline = RTF / 0.1 (the v4-8 north-star from BASELINE.md; < 1.0 beats it).
-Also reports wavernn samples/sec and mel frames/sec as extra fields.
+Extras: wavernn samples/sec, mel frames/sec, per-path MFU (train step fp32 and
+bf16 mixed-precision, AR decode, vocoder kernel) against the chip's bf16 peak.
+
+``python bench.py --verify`` instead runs the Pallas-kernel-vs-scan numerical
+parity check at PRODUCTION shape (d=512, B=8/56) on the live backend.
 """
 import json
 import os
@@ -29,6 +33,79 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
+
+
+def _peak_flops() -> float:
+    """bf16 peak FLOP/s of one chip (MFU denominator for every path)."""
+    kind = jax.devices()[0].device_kind.lower()
+    for pat, peak in (("v5 lite", 197e12), ("v5e", 197e12), ("v5litepod", 197e12),
+                      ("v4", 275e12), ("v5p", 459e12), ("v5", 459e12),
+                      ("v6", 918e12), ("trillium", 918e12)):
+        if pat in kind:
+            return peak
+    return 197e12
+
+
+def _cost_flops(jitted, *args, **kwargs) -> float:
+    """XLA's own FLOP estimate for one call of a jitted function."""
+    try:
+        c = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0) or 0.0)
+    except Exception:
+        return 0.0
+
+
+def _mfu(flops_per_call: float, sec_per_call: float) -> float:
+    if flops_per_call <= 0 or sec_per_call <= 0:
+        return 0.0
+    return flops_per_call / sec_per_call / _peak_flops()
+
+
+def _decode_step_flops(model, n_enc: int, t_avg: int, r: int = 1) -> float:
+    """Analytic matmul FLOPs of ONE incremental AR decode step (b=1)."""
+    d = model.decoder_model_dimension
+    ffn = model.decoder_feed_forward_dimension
+    mel = model.mel_channels
+    blocks = len(model.decoder_num_heads)
+    f = 2 * (mel * model.decoder_prenet_dimension
+             + model.decoder_prenet_dimension * d)          # prenet
+    per_block = (2 * 3 * d * d                              # wq/wk/wv
+                 + 2 * 2 * t_avg * d                        # self-attn qk + av
+                 + 2 * 2 * d * d                            # concat out proj
+                 + 2 * d * d                                # cross wq
+                 + 2 * 2 * n_enc * d                        # cross-attn
+                 + 2 * 2 * d * d                            # cross out proj
+                 + 2 * 2 * d * ffn)                         # ffn d1+d2
+    f += blocks * per_block
+    f += 2 * d * mel * model.max_r                          # FinalProj
+    W = model.postnet_conv_layers * (model.postnet_kernel_size - 1) + r
+    k, cf = model.postnet_kernel_size, model.postnet_conv_filters
+    f += 2 * W * k * (mel * cf
+                      + max(model.postnet_conv_layers - 2, 0) * cf * cf
+                      + cf * mel)                           # causal postnet
+    f += 2 * W * d * 3                                      # stop head
+    return float(f)
+
+
+def _vocoder_step_flops(voc) -> float:
+    """Analytic matmul FLOPs of ONE kernel sample step for ONE fold row."""
+    d, fc = voc.rnn_dims, voc.fc_dims
+    feat, adim, n_out = voc.feat_dims, voc.aux_dims, voc.n_classes
+    return float(2 * ((feat + adim) * d            # in-kernel cond projection
+                      + 2 * d * 3 * d              # GRU1 gi + gh
+                      + (2 * d + adim) * 3 * d     # GRU2 x/a2/gh
+                      + (d + adim) * fc            # fc1
+                      + (fc + adim) * fc           # fc2
+                      + fc * n_out))               # fc3
+
+
+def _num_folds(wave_len: int, target: int, overlap: int) -> int:
+    n = (wave_len - overlap) // (target + overlap)
+    if wave_len - (n * (overlap + target) + overlap) != 0:
+        n += 1
+    return n
 
 
 def main():
@@ -105,6 +182,51 @@ def main():
     jax.block_until_ready(m)
     mel_extract_sec = (time.perf_counter() - t0) / 5
 
+    # --- training-step throughput + MFU, fp32 vs bf16 mixed precision -------
+    from etts.train import (TrainState, make_optimizer,
+                            make_autoregressive_train_step)
+
+    def bench_train(dtype):
+        m = AutoregressiveTransformer(system_type="speaker_style_text",
+                                      mel_channels=MEL_C, vocab_size=130,
+                                      max_r=10, dtype=dtype)
+        b, t_mel, t_txt = 8, 384, 64
+        kb = jax.random.PRNGKey(7)
+        tmel = jax.random.normal(kb, (b, t_mel, MEL_C)) * 0.5
+        tmel = tmel.at[:, 0].set(0.5).at[:, -1].set(-0.5)
+        phon = jax.random.randint(kb, (b, t_txt), 1, 130)
+        stop = jnp.ones((b, t_mel), jnp.int32).at[:, -1].set(2)
+        spk_b = jax.random.normal(kb, (b, 256))
+        variables = m.init({"params": kb, "dropout": kb, "prenet": kb},
+                           phon, tmel, spk_b[:, None, :], r=1)
+        tx = make_optimizer([[0, 1e-4]])
+        state = TrainState.create(variables, tx)
+        step = make_autoregressive_train_step(m, tx)
+        batch = (tmel, phon, stop, spk_b)
+        kwargs = dict(r=1, prenet_dropout=0.5, drop_n_heads=0)
+        state, mtr, _ = step(state, batch, jnp.zeros(()), kb, **kwargs)
+        jax.block_until_ready(mtr["loss"])
+        t0 = time.perf_counter()
+        n_it = 10
+        for i in range(n_it):
+            state, mtr, _ = step(state, batch, jnp.zeros(()),
+                                 jax.random.fold_in(kb, i), **kwargs)
+        jax.block_until_ready(mtr["loss"])
+        dt = (time.perf_counter() - t0) / n_it
+        flops = _cost_flops(step, state, batch, jnp.zeros(()), kb, **kwargs)
+        return dt, _mfu(flops, dt)
+
+    train_fp32_sec, mfu_train_fp32 = bench_train(jnp.float32)
+    train_bf16_sec, mfu_train_bf16 = bench_train(jnp.bfloat16)
+
+    # per-path MFU (bf16 chip peak as denominator everywhere)
+    dec_flops = _decode_step_flops(tts, n_enc=t_text, t_avg=decode_steps // 2)
+    mfu_decode = _mfu(dec_flops * decode_steps, tts_time)
+    wave_len = (n_frames - 1) * HOP
+    n_folds = _num_folds(wave_len, 11000, 550)
+    voc_flops = _vocoder_step_flops(voc) * n_folds * (11000 + 2 * 550)
+    mfu_vocoder = _mfu(voc_flops, voc_time)
+
     audio_sec = wav.shape[0] / SR
     rtf = (tts_time + voc_time) / audio_sec
     result = {
@@ -119,11 +241,157 @@ def main():
             "wavernn_samples_per_sec": round(wav.shape[0] / voc_time, 1),
             "mel_frames_per_sec": round(mel.shape[1] / tts_time, 1),
             "mel_extraction_x_realtime": round(5.0 / mel_extract_sec, 1),
+            "train_step_fp32_ms": round(train_fp32_sec * 1e3, 2),
+            "train_step_bf16_ms": round(train_bf16_sec * 1e3, 2),
+            "bf16_train_speedup": round(train_fp32_sec / train_bf16_sec, 2),
+            "mfu_train_fp32": round(mfu_train_fp32, 4),
+            "mfu_train_bf16": round(mfu_train_bf16, 4),
+            "mfu_ar_decode": round(mfu_decode, 4),
+            "mfu_vocoder_kernel": round(mfu_vocoder, 4),
+            "peak_flops": _peak_flops(),
             "backend": jax.devices()[0].platform,
         },
     }
     print(json.dumps(result))
 
 
+def verify():
+    """Pallas-kernel-vs-scan numerical parity at PRODUCTION shape on the live
+    backend (VERDICT r1: commit an on-hardware check, not just interpret mode).
+
+    RAW mode with peaky logits makes sampling deterministic (argmax), so the
+    kernel's recurrence (in-kernel cond projection, both GRUs, FCs, sampling
+    select) must match a lax.scan reference that mirrors the kernel's
+    bf16-at-matmul-input casts. The sample-feedback weight is zeroed for this
+    check so a single borderline argmax flip cannot cascade down the
+    autoregressive chain (feedback itself is covered by the same-seed
+    determinism check below and the interpret-mode tests). Also checks MoL
+    concentrated-means sampling. Prints one JSON line."""
+    from etts.ops.pallas.wavernn_cell import wavernn_sample_loop
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
+    D = FC = 512
+    FEAT, ADIM = 80, 32
+    T = 256
+    results = {}
+    for B in (8, 56):
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 20)
+        s = 0.08
+        n_classes = 512
+        w = dict(
+            W_I=jax.random.normal(ks[0], (1 + FEAT + ADIM, D)) * s,
+            b_I=jax.random.normal(ks[1], (D,)) * s,
+            wi1=jax.random.normal(ks[2], (D, 3 * D)) * s,
+            wh1=jax.random.normal(ks[3], (D, 3 * D)) * s,
+            bi1=jax.random.normal(ks[4], (3 * D,)) * s,
+            bh1=jax.random.normal(ks[5], (3 * D,)) * s,
+            w2x=jax.random.normal(ks[6], (D, 3 * D)) * s,
+            w2a=jax.random.normal(ks[7], (ADIM, 3 * D)) * s,
+            wh2=jax.random.normal(ks[8], (D, 3 * D)) * s,
+            bi2=jax.random.normal(ks[9], (3 * D,)) * s,
+            bh2=jax.random.normal(ks[10], (3 * D,)) * s,
+            wf1x=jax.random.normal(ks[11], (D, FC)) * s,
+            wf1a=jax.random.normal(ks[12], (ADIM, FC)) * s,
+            bf1=jnp.zeros((FC,)),
+            wf2x=jax.random.normal(ks[13], (FC, FC)) * s,
+            wf2a=jax.random.normal(ks[14], (ADIM, FC)) * s,
+            bf2=jnp.zeros((FC,)),
+            wf3=jax.random.normal(ks[15], (FC, n_classes)) * 100.0,  # peaky
+            bf3=jnp.zeros((n_classes,)),
+        )
+        # zero the sample-feedback row so one borderline argmax flip cannot
+        # cascade; everything else in the recurrence is exercised
+        w["W_I"] = w["W_I"].at[0].set(0.0)
+        cond = jax.random.normal(ks[16], (T, B, FEAT + 4 * ADIM)) * 0.1
+
+        def scan_ref(cond, w):
+            d = D
+            bf = jnp.bfloat16
+
+            def dot(a, m):  # mirror the kernel: bf16 inputs, f32 accumulation
+                return jnp.dot(a.astype(bf), m.astype(bf),
+                               preferred_element_type=jnp.float32)
+
+            def step(carry, c):
+                h1, h2, x_prev = carry
+                c = c.astype(bf).astype(jnp.float32)
+                mel_a1 = c[:, :FEAT + ADIM]
+                a2 = c[:, FEAT + ADIM:FEAT + 2 * ADIM]
+                a3 = c[:, FEAT + 2 * ADIM:FEAT + 3 * ADIM]
+                a4 = c[:, FEAT + 3 * ADIM:]
+                inp = (dot(mel_a1, w["W_I"][1:]) + w["b_I"]
+                       + x_prev * w["W_I"][0][None, :])
+                gi1 = dot(inp, w["wi1"]) + w["bi1"]
+                gh1 = dot(h1, w["wh1"]) + w["bh1"]
+                r = jax.nn.sigmoid(gi1[:, :d] + gh1[:, :d])
+                z = jax.nn.sigmoid(gi1[:, d:2 * d] + gh1[:, d:2 * d])
+                n = jnp.tanh(gi1[:, 2 * d:] + r * gh1[:, 2 * d:])
+                h1 = (1 - z) * n + z * h1
+                x = inp + h1
+                gi2 = dot(x, w["w2x"]) + dot(a2, w["w2a"]) + w["bi2"]
+                gh2 = dot(h2, w["wh2"]) + w["bh2"]
+                r = jax.nn.sigmoid(gi2[:, :d] + gh2[:, :d])
+                z = jax.nn.sigmoid(gi2[:, d:2 * d] + gh2[:, d:2 * d])
+                n = jnp.tanh(gi2[:, 2 * d:] + r * gh2[:, 2 * d:])
+                h2 = (1 - z) * n + z * h2
+                x = x + h2
+                y = jax.nn.relu(dot(x, w["wf1x"]) + dot(a3, w["wf1a"])
+                                + w["bf1"])
+                y = jax.nn.relu(dot(y, w["wf2x"]) + dot(a4, w["wf2a"])
+                                + w["bf2"])
+                logits = dot(y, w["wf3"]) + w["bf3"]
+                cls = jnp.argmax(logits, -1).astype(jnp.float32)
+                smp = 2.0 * cls / (n_classes - 1.0) - 1.0
+                return (h1, h2, smp[:, None]), smp
+
+            init = (jnp.zeros((B, d)), jnp.zeros((B, d)), jnp.zeros((B, 1)))
+            return jax.lax.scan(step, init, cond)[1]
+
+        want = np.asarray(jax.jit(scan_ref)(cond, w))
+
+        def run_kernel(seed):
+            return np.asarray(wavernn_sample_loop(
+                cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"],
+                w["bh1"], w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+                w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"],
+                w["bf2"], w["wf3"], w["bf3"], seed, feat=FEAT, adim=ADIM,
+                mode="RAW", n_classes=n_classes, interpret=interpret))
+
+        got = run_kernel(3)
+        agree = float(np.mean(got == want))
+        results[f"raw_agreement_B{B}"] = round(agree, 5)
+        # borderline argmax flips from Mosaic-vs-XLA f32 accumulation order
+        # cost ~0.5%; a real recurrence bug collapses agreement to ~1/512
+        assert agree > 0.98, f"B={B}: kernel/scan agreement {agree}"
+        # same-seed determinism (covers the sample-feedback path end to end)
+        assert np.array_equal(got, run_kernel(3)), "kernel nondeterministic"
+
+        # MoL concentrated-means: all samples must land on the forced mean
+        w["wf3"] = jnp.zeros((FC, 30))
+        bf3 = np.zeros(30, np.float32)
+        bf3[10:20] = 0.5
+        bf3[20:30] = -8.0
+        w["bf3"] = jnp.asarray(bf3)
+        got = np.asarray(wavernn_sample_loop(
+            cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+            w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"], w["bf2"],
+            w["wf3"], w["bf3"], 5, feat=FEAT, adim=ADIM, mode="MOL",
+            interpret=interpret))
+        err = float(np.abs(got - 0.5).max())
+        results[f"mol_mean_err_B{B}"] = round(err, 5)
+        assert err < 0.02, f"B={B}: MoL mean error {err}"
+
+    print(json.dumps({"metric": "pallas_parity", "value": 1.0,
+                      "unit": "pass", "vs_baseline": 1.0,
+                      "extras": {**results,
+                                 "backend": jax.default_backend(),
+                                 "compiled": on_tpu}}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--verify" in sys.argv:
+        verify()
+    else:
+        main()
