@@ -321,9 +321,22 @@ def _upsample_and_fold(model: WaveRNN, variables, mels, target, overlap,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "batched", "overlap",
-                                             "mu_law", "wave_len"))
+                                             "mu_law"))
 def _finalize_jit(model: WaveRNN, output, batched, overlap, mu_law, wave_len):
+    """wave_len is TRACED: one compile serves every utterance length (serving
+    shape discipline — callers slice host-side)."""
     return _finalize(output, batched, overlap, mu_law, model, wave_len)
+
+
+def _bucket_len(t: int, lo: int = 32, ratio: float = 2.0) -> int:
+    """Round a mel length up to a small geometric bucket set so a serving mix
+    of arbitrary lengths hits a BOUNDED number of XLA compiles (the reference
+    recompiles nothing because it is eager — `fatchord_version.py:150-243` —
+    but pays eager dispatch every call instead)."""
+    b = lo
+    while b < t:
+        b = int(b * ratio)
+    return b
 
 
 def _conditioning_streams(model: WaveRNN, params, mels_up, aux):
@@ -421,13 +434,17 @@ def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas=False):
 
 def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
              target: int = 11000, overlap: int = 550, mu_law: bool = True,
-             key=None, use_pallas: bool | None = None):
+             key=None, use_pallas: bool | None = None,
+             bucket: bool = False):
     """Full generation path (fatchord_version.py:150-243): upsample -> fold ->
     sequential sample loop -> unfold -> mu-law decode -> 20-hop fade-out.
 
     Conditioning projections run as big batched matmuls before the loop; the
     sequential core is either a lax.scan or the fused Pallas kernel. Returns a
-    1-D waveform of length (t_mel-1)*hop.
+    1-D waveform of length (t_mel-1)*hop. ``bucket=True`` pads the mel length
+    up to a geometric bucket so a serving mix of lengths causes a bounded
+    number of compiles (zero-padding is output-equivalent in the real region:
+    the upsampler already zero-pads the mel tail).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -437,6 +454,9 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
     b0, t_mel, _ = mels.shape
     assert b0 == 1, "generate() vocodes one utterance; see generate_batch()"
     wave_len = (t_mel - 1) * model.hop_length
+    if bucket:
+        t_pad = _bucket_len(t_mel)
+        mels = jnp.pad(mels, ((0, 0), (0, t_pad - t_mel), (0, 0)))
     mels_up, aux = _upsample_and_fold(model, variables, mels, target, overlap,
                                       batched)
     if use_pallas is None:
@@ -449,13 +469,15 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
         output = _run_sample_loop(model, streams, w, key)
-    return _finalize_jit(model, output, batched, overlap, mu_law, wave_len)
+    out = _finalize_jit(model, output, batched, overlap, mu_law,
+                        jnp.int32(wave_len))
+    return out[:wave_len]
 
 
 def generate_batch(model: WaveRNN, variables, mels_list, *,
                    target: int = 11000, overlap: int = 550,
                    mu_law: bool = True, key=None,
-                   use_pallas: bool | None = None):
+                   use_pallas: bool | None = None, bucket: bool = True):
     """Vocode MANY utterances in one sample loop (serving throughput).
 
     Each utterance is folded independently (fold rows all share the same
@@ -463,6 +485,12 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     one batch for a single sequential pass, then split and crossfade-unfold
     per utterance. Throughput scales with total fold count until the MXU
     saturates. Returns a list of 1-D waveforms.
+
+    Serving shape discipline (``bucket=True``): mel lengths are zero-padded up
+    to geometric buckets and the total fold count is padded to a multiple of 8
+    (the TPU sublane), so a mix of arbitrary utterance lengths triggers a
+    BOUNDED number of XLA compiles (upsample: one per bucket; sample loop: one
+    per padded fold count; finalize: one per fold count, length is traced).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -472,6 +500,9 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
         if mel.ndim == 2:
             mel = mel[None]
         wave_lens.append((mel.shape[1] - 1) * model.hop_length)
+        if bucket:
+            t_pad = _bucket_len(mel.shape[1])
+            mel = jnp.pad(mel, ((0, 0), (0, t_pad - mel.shape[1]), (0, 0)))
         mu, au = _upsample_and_fold(model, variables, mel, target, overlap,
                                     True)
         counts.append(mu.shape[0])
@@ -479,6 +510,10 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
         auxs.append(au)
     mels_up = jnp.concatenate(ups, axis=0)
     aux = jnp.concatenate(auxs, axis=0)
+    if bucket and mels_up.shape[0] % 8:
+        pad_rows = 8 - mels_up.shape[0] % 8
+        mels_up = jnp.pad(mels_up, ((0, pad_rows), (0, 0), (0, 0)))
+        aux = jnp.pad(aux, ((0, pad_rows), (0, 0), (0, 0)))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     from ..ops.pallas import pallas_available
@@ -494,20 +529,27 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
         rows = output[ofs:ofs + count]
         ofs += count
         wavs.append(_finalize_jit(model, rows, True, overlap, mu_law,
-                                  wave_len))
+                                  jnp.int32(wave_len))[:wave_len])
     return wavs
 
 
 def _finalize(output, batched, overlap, mu_law, model, wave_len):
-    """Unfold + mu-law decode + 20-hop fade-out (fatchord :226-237)."""
+    """Unfold + mu-law decode + 20-hop fade-out (fatchord :226-237).
+
+    ``wave_len`` may be a traced scalar: the fade ramp is computed positionally
+    (identical to ``linspace(1, 0, N)[-n_fade:]`` over ``output[:wave_len]``)
+    and samples past wave_len are zeroed; callers slice to wave_len host-side.
+    """
     if batched:
         output = xfade_and_unfold(output, overlap)
     else:
         output = output[0]
     if mu_law:
         output = mu_law_decode(output, model.n_classes, from_labels=False)
-    output = output[:wave_len]
-    fade = jnp.linspace(1.0, 0.0, 20 * model.hop_length, dtype=output.dtype)
-    n_fade = min(20 * model.hop_length, int(wave_len))
-    output = output.at[-n_fade:].multiply(fade[-n_fade:])
-    return output
+    N = 20 * model.hop_length
+    idx = jnp.arange(output.shape[0])
+    # linspace(1,0,N)[j] = 1 - j/(N-1) at j = N - wave_len + idx, clipped to
+    # [0, 1]: ==1 before the ramp (j<0 when wave_len>=N), ==0 at wave_len-1
+    j = (N - wave_len + idx).astype(output.dtype)
+    factor = jnp.clip(1.0 - j / (N - 1), 0.0, 1.0)
+    return jnp.where(idx < wave_len, output * factor, 0.0)

@@ -173,3 +173,44 @@ class TestGenerateBatch:
         for i, w in enumerate(wavs):
             assert w.shape == ((10 + 2 * i - 1) * 10,)
             assert np.isfinite(np.asarray(w)).all()
+
+
+class TestServingShapeDiscipline:
+    """Serving shape discipline (VERDICT r1 #4): mel-length bucketing + traced
+    wave_len keep the XLA compile count bounded across a length mix, and
+    bucket padding is output-equivalent in the real region."""
+
+    def test_bucket_padding_is_output_equivalent(self):
+        # unbatched: same rng chain step-by-step, so the real-region samples
+        # must be EXACTLY equal with and without bucket padding
+        model, variables, _, _ = _init("MOL")
+        mel = jax.random.normal(jax.random.PRNGKey(3), (12, 8)) * 0.3
+        k = jax.random.PRNGKey(0)
+        plain = generate(model, variables, mel, batched=False, key=k,
+                         bucket=False)
+        padded = generate(model, variables, mel, batched=False, key=k,
+                          bucket=True)
+        assert plain.shape == padded.shape == (110,)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(padded),
+                                   atol=1e-6)
+
+    def test_bounded_compiles_over_length_mix(self):
+        from etts.models.wavernn import (_upsample_and_fold, _finalize_jit,
+                                         generate_batch, _bucket_len)
+        model, variables, _, _ = _init("MOL")
+        key = jax.random.PRNGKey(1)
+        lengths = [11, 13, 17, 19, 22, 25, 28, 30, 33, 38]
+        mels = [jax.random.normal(jax.random.fold_in(key, t), (t, 8)) * 0.3
+                for t in lengths]
+        up_before = _upsample_and_fold._cache_size()
+        fin_before = _finalize_jit._cache_size()
+        wavs = generate_batch(model, variables, mels, target=30, overlap=10,
+                              key=key)
+        n_buckets = len({_bucket_len(t) for t in lengths})
+        assert n_buckets <= 2
+        assert _upsample_and_fold._cache_size() - up_before <= n_buckets
+        # finalize length is traced -> one compile per fold-count bucket
+        assert _finalize_jit._cache_size() - fin_before <= n_buckets
+        for t, w in zip(lengths, wavs):
+            assert w.shape == ((t - 1) * 10,)
+            assert np.isfinite(np.asarray(w)).all()
