@@ -8,8 +8,11 @@ its C-extension dependencies (pysptk/pyworld/pystoi/pesq are not available):
     standing in for pyworld harvest
   - STOI implemented from the Taal et al. 2011 definition (1/3-octave bands,
     384 ms segments, clipped correlation) — same metric pystoi computes
-  - PESQ has no pure-python equivalent; `pesq_score` returns None unless the
-    optional `pesq` package is installed.
+  - PESQ: `pesq_score` uses the optional `pesq` package (true ITU-T P.862)
+    when installed; otherwise `pesq_proxy`, a pure-numpy PESQ-structured
+    perceptual score (bark loudness, masked symmetric + asymmetric
+    disturbance -> MOS scale) — clearly documented as NOT interchangeable
+    with true P.862 values.
 All comparisons are DTW-aligned first, as in the reference (:34-98).
 """
 from __future__ import annotations
@@ -21,7 +24,7 @@ from scipy.signal import stft as _scipy_stft
 from .dtw import dtw_path
 
 __all__ = ["mel_cepstrum", "mcd", "frame_disturbance", "f0_autocorr",
-           "f0_rmse", "stoi", "pesq_score", "compute_all_metrics"]
+           "f0_rmse", "stoi", "pesq_score", "pesq_proxy", "compute_all_metrics"]
 
 _LOG_SPEC_FLOOR = 1e-10
 
@@ -217,12 +220,83 @@ def stoi(ref_wav, syn_wav, sr=16000):
     return float(np.mean(scores))
 
 
+_BARK_EDGES_HZ = np.array([
+    0, 100, 200, 300, 400, 510, 630, 770, 920, 1080, 1270, 1480, 1720,
+    2000, 2320, 2700, 3150, 3700, 4400, 5300, 6400, 7700])
+
+
+def _bark_loudness(wav, sr, frame=512, hop=256):
+    """Frames -> bark-band Zwicker loudness (pure numpy).
+
+    32 ms hann frames, power spectrum grouped into the 21 critical bands
+    below 7.7 kHz, then intensity -> loudness via the Zwicker power law
+    (exponent 0.23 above a hearing threshold proportional to the band floor).
+    """
+    wav = np.asarray(wav, np.float64)
+    if len(wav) < frame:
+        wav = np.pad(wav, (0, frame - len(wav)))
+    nf = 1 + (len(wav) - frame) // hop
+    idx = np.arange(nf)[:, None] * hop + np.arange(frame)[None, :]
+    w = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(wav[idx] * w, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+    bands = np.zeros((nf, len(_BARK_EDGES_HZ) - 1))
+    for b in range(len(_BARK_EDGES_HZ) - 1):
+        sel = (freqs >= _BARK_EDGES_HZ[b]) & (freqs < _BARK_EDGES_HZ[b + 1])
+        if sel.any():
+            bands[:, b] = spec[:, sel].mean(axis=1)
+    p0 = 1e-8 * max(np.mean(bands), 1e-30)   # threshold relative to level
+    return (np.maximum(bands / p0, 1.0)) ** 0.23 - 1.0
+
+
+def pesq_proxy(ref_wav, syn_wav, sr=16000):
+    """PESQ-structured perceptual proxy (pure numpy) on a 1.0-4.5 MOS scale.
+
+    NOT ITU-T P.862 (the `pesq` C package is unavailable in this environment
+    and P.862 cannot be validated without it); this follows its skeleton so
+    the score moves the same way: level alignment, bark-band Zwicker
+    loudness, DTW time alignment (instead of P.862 utterance alignment — TTS
+    pairs are tempo-shifted), masked symmetric disturbance (L3 over bands,
+    L6 over time) plus an asymmetry penalty for additive distortions, mapped
+    linearly to MOS. Monotonic under noise/distortion (tested); absolute
+    values are NOT interchangeable with true PESQ MOS.
+    Reference obligation: `objective_measure.py:34-40` PESQ column.
+    """
+    x = np.asarray(ref_wav, np.float64)
+    y = np.asarray(syn_wav, np.float64)
+    # active-level alignment
+    x = x / (np.sqrt(np.mean(x ** 2)) + 1e-12)
+    y = y / (np.sqrt(np.mean(y ** 2)) + 1e-12)
+    Lx = _bark_loudness(x, sr)
+    Ly = _bark_loudness(y, sr)
+    _, path = dtw_path(Lx.astype(np.float32), Ly.astype(np.float32))
+    Lx, Ly = Lx[[i for i, _ in path]], Ly[[j for _, j in path]]
+    # masked disturbance: a deadzone of 0.25*min absorbs small differences
+    diff = Ly - Lx
+    dead = 0.25 * np.minimum(Lx, Ly)
+    d = np.sign(diff) * np.maximum(np.abs(diff) - dead, 0.0)
+    # symmetric: L3 over bands, L6 over time
+    d_frame = np.mean(np.abs(d) ** 3, axis=1) ** (1 / 3)
+    D = np.mean(d_frame ** 6) ** (1 / 6)
+    # asymmetric: additive components (deg louder than ref) penalized
+    asym = np.clip(((Ly + 0.5) / (Lx + 0.5)) ** 1.2, 0.0, 12.0)
+    asym[asym < 3.0] = 0.0
+    da_frame = np.mean(np.abs(d) * asym, axis=1)
+    DA = np.mean(da_frame ** 6) ** (1 / 6)
+    # coefficients calibrated on a white-noise SNR sweep so the scale spreads
+    # like PESQ MOS (~4.1 @ 40 dB SNR, ~3.0 @ 20 dB, ~1 @ 0 dB)
+    mos = 4.5 - 0.08 * D - 0.0025 * DA
+    return float(np.clip(mos, 1.0, 4.5))
+
+
 def pesq_score(ref_wav, syn_wav, sr=16000):
-    """PESQ via the optional `pesq` package; None when unavailable."""
+    """PESQ: the real ITU P.862 score via the optional `pesq` package when
+    installed, else the pure-numpy `pesq_proxy` (clearly not interchangeable
+    — see its docstring)."""
     try:
         from pesq import pesq as _pesq
     except ImportError:
-        return None
+        return pesq_proxy(ref_wav, syn_wav, sr)
     from scipy.signal import resample_poly
     x = resample_poly(ref_wav, 16000, sr)
     y = resample_poly(syn_wav, 16000, sr)

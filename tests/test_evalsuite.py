@@ -106,4 +106,41 @@ class TestBundle:
         assert set(out) == {"MCD", "FD", "RMSE_F0", "voiced_overlap", "STOI",
                             "PESQ"}
         assert out["MCD"] > 0 and np.isfinite(out["MCD"])
-        assert out["PESQ"] is None  # package not installed here
+        # real P.862 when installed, else the numpy proxy — a float either way
+        assert isinstance(out["PESQ"], float) and np.isfinite(out["PESQ"])
+
+
+class TestPesqProxy:
+    """PESQ column (reference `objective_measure.py:34-40`): real P.862 when
+    the optional package exists, else the documented pure-numpy proxy."""
+
+    def _clean(self, sr=16000, sec=2.0):
+        t = np.arange(int(sr * sec)) / sr
+        return (0.4 * np.sin(2 * np.pi * 220 * t)
+                * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+                + 0.05 * np.sin(2 * np.pi * 800 * t))
+
+    def test_identical_is_max(self):
+        from etts.evalsuite.metrics import pesq_proxy
+        x = self._clean()
+        assert pesq_proxy(x, x) == 4.5
+
+    def test_monotonic_under_noise(self):
+        from etts.evalsuite.metrics import pesq_proxy
+        rng = np.random.default_rng(0)
+        x = self._clean()
+        scores = []
+        for snr_db in (40, 25, 10):
+            n = rng.standard_normal(len(x))
+            n *= np.sqrt(np.mean(x ** 2) / 10 ** (snr_db / 10)) \
+                / np.sqrt(np.mean(n ** 2))
+            scores.append(pesq_proxy(x, x + n))
+        assert scores[0] > scores[1] > scores[2], scores
+        assert 1.0 <= min(scores) and max(scores) <= 4.5
+
+    def test_compute_all_metrics_returns_float_pesq(self):
+        from etts.evalsuite.metrics import compute_all_metrics
+        rng = np.random.default_rng(1)
+        x = self._clean()
+        m = compute_all_metrics(x, x + 0.01 * rng.standard_normal(len(x)))
+        assert isinstance(m["PESQ"], float) and np.isfinite(m["PESQ"])
