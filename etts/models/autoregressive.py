@@ -372,3 +372,107 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
             "mel_length": lengths.max(), "steps": i,
             "text_encoder_attention": text_attn,
             "gst_encoder_attention": gst_attn, "gst_tokens": gst_tokens}
+
+
+# ---------------------------------------------------------------------------
+# Streamed (chunked) AR inference
+# ---------------------------------------------------------------------------
+
+def streaming_decode_init(model: AutoregressiveTransformer, variables,
+                          inputs, ref_mel=None, spk_embed=None, *,
+                          r: int = 1, max_length: int = 1000, key=None):
+    """Encode once and build the decode carry for ``decode_chunk``.
+
+    Returns (state dict, enc pack). The carry holds the KV caches, feedback
+    frame, linear-mel ring window, step counter, stop flags and rng — chunked
+    decoding is EXACTLY the while_loop decode split at chunk boundaries (same
+    per-step rng chain `fold_in(dkey, i)`).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    b = inputs.shape[0]
+    max_steps = int(max_length) // r + 1
+    ctx = model.postnet_conv_layers * (model.postnet_kernel_size - 1)
+    W = ctx + r
+    ekey, dkey = jax.random.split(key)
+    enc_out, cross_mask, *_ = model.apply(
+        variables, inputs, ref_mel, spk_embed, False, False, 0,
+        method=AutoregressiveTransformer.encode,
+        rngs={"dropout": ekey, "prenet": ekey})
+    caches = _decoder_cache_spec(model, b, max_steps)
+    for entry, (ck, cv) in zip(caches, _cross_attention_kv(model, variables,
+                                                           enc_out)):
+        entry["ck"], entry["cv"] = ck, cv
+    state = {
+        "i": jnp.int32(0),
+        "stopped": jnp.zeros((b,), bool),
+        "last": jnp.full((b, 1, model.mel_channels), model.mel_start_value,
+                         model.dtype),
+        "caches": caches,
+        "window": jnp.zeros((b, W, model.mel_channels), model.dtype),
+        "lengths": jnp.zeros((b,), jnp.int32),
+        "dkey": dkey,
+    }
+    return state, (enc_out, cross_mask)
+
+
+def make_chunk_decoder(model: AutoregressiveTransformer, *, chunk: int,
+                       r: int = 1, prenet_dropout: float = 0.5,
+                       stop_enabled: bool = True):
+    """Jitted fixed-size decode chunk: state -> (state, mel chunk (b, chunk*r, mel)).
+
+    One compile per chunk size; identical math/rng to autoregressive_predict.
+    """
+    mel_ch = model.mel_channels
+    ctx = model.postnet_conv_layers * (model.postnet_kernel_size - 1)
+    W = ctx + r
+
+    @jax.jit
+    def decode_chunk(variables, state, enc_pack):
+        enc_out, cross_mask = enc_pack
+        b = state["last"].shape[0]
+        out_chunk = jnp.zeros((b, chunk * r, mel_ch), model.dtype)
+
+        def body(k, carry):
+            state, out_chunk = carry
+            i = state["i"]
+            k1, k2 = jax.random.split(jax.random.fold_in(state["dkey"], i))
+
+            def live(state, out_chunk):
+                mel_r, new_caches = model.apply(
+                    variables, state["last"], enc_out, cross_mask,
+                    state["caches"], i, r, prenet_dropout, 0,
+                    method=AutoregressiveTransformer.decode_step,
+                    rngs={"prenet": k1, "dropout": k2})
+                window = jnp.concatenate([state["window"], mel_r], axis=1)
+                post = model.apply(
+                    variables, window,
+                    method=AutoregressiveTransformer.postnet_forward)
+                final_r = post["final_output"][:, -r:, :]
+                stop_logits = post["stop_prob"][:, -1]
+                if stop_enabled:
+                    stop_now = (jnp.argmax(stop_logits, axis=-1)
+                                == model.stop_prob_index)
+                else:
+                    stop_now = jnp.zeros((b,), bool)
+                new_lengths = jnp.where(state["stopped"], state["lengths"],
+                                        (i + 1) * r)
+                new_state = dict(
+                    state, i=i + 1, stopped=state["stopped"] | stop_now,
+                    last=final_r[:, -1:, :], caches=new_caches,
+                    window=window[:, r:, :], lengths=new_lengths)
+                out2 = jax.lax.dynamic_update_slice(out_chunk, final_r,
+                                                    (0, k * r, 0))
+                return new_state, out2
+
+            def dead(state, out_chunk):
+                return dict(state, i=i + 1), out_chunk
+
+            return jax.lax.cond(state["stopped"].all(), dead, live,
+                                state, out_chunk)
+
+        state, out_chunk = jax.lax.fori_loop(0, chunk, body,
+                                             (state, out_chunk))
+        return state, out_chunk
+
+    return decode_chunk

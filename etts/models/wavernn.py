@@ -388,8 +388,13 @@ def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key):
     return jnp.swapaxes(samples_tb, 0, 1)
 
 
-def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas=False):
-    """Sequential sample loop over (B, T) streams -> samples (B, T)."""
+def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas=False,
+                     state=None, return_state=False):
+    """Sequential sample loop over (B, T) streams -> samples (B, T).
+
+    ``state``/``return_state`` carry the GRU hiddens, feedback sample and rng
+    across calls — the streaming path vocodes chunk by chunk with EXACTLY the
+    same sample sequence as one long scan (same key chain)."""
     del use_pallas  # the pallas path takes raw streams, see _run_pallas_loop
     d = model.rnn_dims
     B, T, _ = streams["i"].shape
@@ -425,11 +430,18 @@ def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas=False):
             sample = 2.0 * cls.astype(jnp.float32) / (model.n_classes - 1.0) - 1.0
         return (h1, h2, sample[:, None], k), sample
 
-    init = (jnp.zeros((B, d)), jnp.zeros((B, d)), jnp.zeros((B, 1)), key)
+    if state is None:
+        init = (jnp.zeros((B, d)), jnp.zeros((B, d)), jnp.zeros((B, 1)), key)
+    else:
+        init = (state["h1"], state["h2"], state["x"], state["key"])
     xs = tuple(jnp.swapaxes(streams[k], 0, 1)
                for k in ("i", "gi2", "f1", "f2"))
-    _, samples = jax.lax.scan(step, init, xs)
-    return jnp.swapaxes(samples, 0, 1)
+    carry, samples = jax.lax.scan(step, init, xs)
+    out = jnp.swapaxes(samples, 0, 1)
+    if return_state:
+        h1, h2, x_prev, k = carry
+        return out, {"h1": h1, "h2": h2, "x": x_prev, "key": k}
+    return out
 
 
 def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
