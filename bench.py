@@ -149,7 +149,34 @@ def main():
     for i in range(N_TTS):
         mel = tts_decode_j(jax.random.fold_in(key, i))
     mel.block_until_ready()
-    tts_time = (time.perf_counter() - t0) / N_TTS
+    tts_while_loop_time = (time.perf_counter() - t0) / N_TTS
+    tts_time = tts_while_loop_time
+
+    # fused Pallas decode-step megakernel (single-stream serving path)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from etts.ops.pallas.decoder_step import make_fused_decoder
+        fused = make_fused_decoder(tts, max_steps=decode_steps,
+                                   stop_enabled=False)
+
+        @jax.jit
+        def tts_fused(k):
+            ekey, dkey = jax.random.split(k)
+            enc_out, *_ = tts.apply(
+                tts_vars, phonemes, ref_mel, spk, False, False, 0,
+                method=AutoregressiveTransformer.encode,
+                rngs={"dropout": ekey, "prenet": ekey})
+            m, length, _ = fused(tts_vars, enc_out, dkey, 0.5)
+            return m
+
+        mel_f = tts_fused(key)
+        mel_f.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(N_TTS):
+            mel_f = tts_fused(jax.random.fold_in(key, i))
+        mel_f.block_until_ready()
+        tts_time = (time.perf_counter() - t0) / N_TTS
+        mel = mel_f[:, :decode_steps, :]
 
     voc_mel = (mel[0] + 4.0) / 8.0
 
@@ -181,6 +208,24 @@ def main():
         m = ap.mel_spectrogram(wav5)
     jax.block_until_ready(m)
     mel_extract_sec = (time.perf_counter() - t0) / 5
+
+    # --- streamed synthesis: first-audio latency ----------------------------
+    from etts.streaming import stream_synthesize
+
+    def first_audio_sec():
+        gen = stream_synthesize(tts, tts_vars, voc, voc_vars, phonemes,
+                                ref_mel, spk, r=1, max_length=decode_steps - 1,
+                                mel_chunk=40, stop_enabled=False,
+                                mu_law=False, key=key)
+        t0 = time.perf_counter()
+        first = next(gen)
+        jax.block_until_ready(first)
+        dt = time.perf_counter() - t0
+        gen.close()
+        return dt, first.shape[0] / SR
+
+    first_audio_sec()  # compile
+    fa, chunk_audio = first_audio_sec()
 
     # --- training-step throughput + MFU, fp32 vs bf16 mixed precision -------
     from etts.train import (TrainState, make_optimizer,
@@ -236,11 +281,15 @@ def main():
         "vs_baseline": round(rtf / 0.1, 4),
         "extras": {
             "tts_sec": round(tts_time, 4),
+            "tts_while_loop_sec": round(tts_while_loop_time, 4),
+            "tts_fused_kernel": on_tpu,
             "vocoder_sec": round(voc_time, 4),
             "audio_sec": round(audio_sec, 3),
             "wavernn_samples_per_sec": round(wav.shape[0] / voc_time, 1),
             "mel_frames_per_sec": round(mel.shape[1] / tts_time, 1),
             "mel_extraction_x_realtime": round(5.0 / mel_extract_sec, 1),
+            "first_audio_ms": round(fa * 1e3, 1),
+            "first_audio_chunk_sec": round(chunk_audio, 3),
             "train_step_fp32_ms": round(train_fp32_sec * 1e3, 2),
             "train_step_bf16_ms": round(train_bf16_sec * 1e3, 2),
             "bf16_train_speedup": round(train_fp32_sec / train_bf16_sec, 2),

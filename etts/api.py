@@ -56,9 +56,51 @@ class TTSSynthesizer:
             self._decode_cache[max_length] = fn
         return self._decode_cache[max_length]
 
+    def _can_fuse(self) -> bool:
+        """Fused Pallas decode supports: TPU, r=1, all-dense decoder blocks
+        with a uniform head count (the flagship geometry)."""
+        m = self.model
+        return (self.r == 1 and jax.default_backend() == "tpu"
+                and m.decoder_dense_blocks == len(m.decoder_num_heads)
+                and len(set(m.decoder_num_heads)) == 1)
+
+    def _fused_fn(self, max_length: int):
+        """Cached jitted encode + fused-Pallas-kernel decode (single stream).
+
+        ~4x lower latency than the while_loop path (28.6 vs 115 us/step at
+        reference scale on one v5e)."""
+        ck = ("fused", max_length)
+        if ck not in self._decode_cache:
+            from .models.autoregressive import AutoregressiveTransformer
+            from .ops.pallas.decoder_step import make_fused_decoder
+            decode = make_fused_decoder(self.model,
+                                        max_steps=max_length // self.r + 1)
+
+            @jax.jit
+            def fn(variables, inp, ref, spk, key):
+                ekey, dkey = jax.random.split(key)
+                enc_out, _, text_attn, gst_attn, gst_tokens, *_ = \
+                    self.model.apply(
+                        variables, inp, ref, spk, False, False, 0,
+                        method=AutoregressiveTransformer.encode,
+                        rngs={"dropout": ekey, "prenet": ekey})
+                mel, length, steps = decode(variables, enc_out, dkey,
+                                            self.prenet_dropout)
+                return {"mel": mel, "mel_length": length,
+                        "mel_lengths": length[None], "steps": steps,
+                        "text_encoder_attention": text_attn,
+                        "gst_encoder_attention": gst_attn,
+                        "gst_tokens": gst_tokens}
+
+            self._decode_cache[ck] = fn
+        return self._decode_cache[ck]
+
     def _run_decode(self, inp, ref, spk, max_length, key):
         key = key if key is not None else jax.random.PRNGKey(0)
-        fn = self._decode_fn(max_length)
+        if inp.shape[0] == 1 and self._can_fuse():
+            fn = self._fused_fn(max_length)
+        else:
+            fn = self._decode_fn(max_length)
         return fn(self.variables, inp,
                   ref if self.model.has_style else None,
                   spk if self.model.has_speaker else None, key)
