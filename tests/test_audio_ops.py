@@ -201,3 +201,32 @@ class TestAudioProcessor:
         rec = ap.reconstruct_waveform(mel, n_iter=4)
         assert rec.ndim == 1 and rec.shape[0] > 0
         assert np.isfinite(np.asarray(rec)).all()
+
+
+class TestGoldenMelFixtures:
+    """Committed fixtures pin the full mel pipeline (STFT conventions, mel
+    filterbank, normalizers) against silent regressions — BASELINE north-star
+    #2's pipeline contract. Regenerate deliberately (see tests/fixtures/)."""
+
+    def test_pipeline_matches_committed_fixture(self):
+        import pathlib
+        from etts.ops.audio import AudioProcessor
+        fx = np.load(pathlib.Path(__file__).parent / "fixtures"
+                     / "mel_golden.npz")
+        wav = fx["wav"]
+        sr = 16000
+        cfgs = {
+            "melgan": dict(sampling_rate=sr, n_fft=1024, hop_length=256,
+                           win_length=1024, mel_channels=80, f_min=0,
+                           f_max=None, normalizer="MelGAN"),
+            "wavernn": dict(sampling_rate=sr, n_fft=2048, hop_length=200,
+                            win_length=800, mel_channels=80, f_min=40,
+                            f_max=None, normalizer="WaveRNN"),
+        }
+        for name, cfg in cfgs.items():
+            got = np.asarray(AudioProcessor(cfg).mel_spectrogram(wav))
+            want = fx[f"mel_{name}"]
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=5e-4,
+                                       err_msg=f"{name} mel drifted from "
+                                               f"the committed golden")
