@@ -545,6 +545,74 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     return wavs
 
 
+def generate_batch_sharded(model: WaveRNN, variables, mels_list, *, mesh,
+                           axis: str = "data", target: int = 11000,
+                           overlap: int = 550, mu_law: bool = True, key=None,
+                           use_pallas: bool | None = None):
+    """Fold-parallel vocoding across CHIPS: every utterance's fold rows are
+    independent sequential chains, so the concatenated row batch shards over
+    the mesh's data axis and each chip runs its own sample loop (Pallas kernel
+    on TPU, scan elsewhere) — throughput scales with chip count with zero
+    collectives in the loop. SURVEY §2.5 'fold-parallel across cores'.
+
+    Row count pads to lcm(8, n_devices); per-shard rng is folded by device
+    index so chips draw independent noise. Returns a list of waveforms.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mu_law = mu_law if model.mode == "RAW" else False
+    n_dev = mesh.shape[axis]
+    ups, auxs, counts, wave_lens = [], [], [], []
+    for mel in mels_list:
+        if mel.ndim == 2:
+            mel = mel[None]
+        wave_lens.append((mel.shape[1] - 1) * model.hop_length)
+        t_pad = _bucket_len(mel.shape[1])
+        mel = jnp.pad(mel, ((0, 0), (0, t_pad - mel.shape[1]), (0, 0)))
+        mu, au = _upsample_and_fold(model, variables, mel, target, overlap,
+                                    True)
+        counts.append(mu.shape[0])
+        ups.append(mu)
+        auxs.append(au)
+    mels_up = jnp.concatenate(ups, axis=0)
+    aux = jnp.concatenate(auxs, axis=0)
+    quantum = int(np.lcm(8, n_dev))
+    if mels_up.shape[0] % quantum:
+        pad_rows = quantum - mels_up.shape[0] % quantum
+        mels_up = jnp.pad(mels_up, ((0, pad_rows), (0, 0), (0, 0)))
+        aux = jnp.pad(aux, ((0, pad_rows), (0, 0), (0, 0)))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from ..ops.pallas import pallas_available
+    use_pallas = use_pallas and pallas_available
+    params = variables["params"]
+
+    def rowwise(params, mels_up_l, aux_l, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        if use_pallas:
+            return _run_pallas_loop(model, params, mels_up_l, aux_l, key)
+        streams, w = _conditioning_streams(model, params, mels_up_l, aux_l)
+        return _run_sample_loop(model, streams, w, key)
+
+    row_sharding = NamedSharding(mesh, P(axis))
+    mels_up = jax.device_put(mels_up, row_sharding)
+    aux = jax.device_put(aux, row_sharding)
+    output = shard_map(rowwise, mesh=mesh,
+                       in_specs=(P(), P(axis), P(axis), P()),
+                       out_specs=P(axis), check_rep=False)(
+        params, mels_up, aux, key)
+    wavs, ofs = [], 0
+    for count, wave_len in zip(counts, wave_lens):
+        rows = output[ofs:ofs + count]
+        ofs += count
+        wavs.append(_finalize_jit(model, rows, True, overlap, mu_law,
+                                  jnp.int32(wave_len))[:wave_len])
+    return wavs
+
+
 def _finalize(output, batched, overlap, mu_law, model, wave_len):
     """Unfold + mu-law decode + 20-hop fade-out (fatchord :226-237).
 

@@ -214,3 +214,29 @@ class TestServingShapeDiscipline:
         for t, w in zip(lengths, wavs):
             assert w.shape == ((t - 1) * 10,)
             assert np.isfinite(np.asarray(w)).all()
+
+
+class TestShardedVocoding:
+    """Fold-parallel vocoding across chips (SURVEY §2.5): rows shard over an
+    8-device mesh, each device runs its own sequential sample loop."""
+
+    def test_sharded_matches_shape_and_is_deterministic(self):
+        from etts.models.wavernn import generate_batch_sharded
+        from etts.parallel import make_mesh
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(("data",))
+        model, variables, _, _ = _init("MOL")
+        key = jax.random.PRNGKey(0)
+        lengths = [11, 17, 23]
+        mels = [jax.random.normal(jax.random.fold_in(key, t), (t, 8)) * 0.3
+                for t in lengths]
+        wavs = generate_batch_sharded(model, variables, mels, mesh=mesh,
+                                      target=30, overlap=10, key=key)
+        for t, w in zip(lengths, wavs):
+            assert w.shape == ((t - 1) * 10,)
+            arr = np.asarray(w)
+            assert np.isfinite(arr).all() and np.abs(arr).max() <= 1 + 1e-6
+        wavs2 = generate_batch_sharded(model, variables, mels, mesh=mesh,
+                                       target=30, overlap=10, key=key)
+        for a, b in zip(wavs, wavs2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
