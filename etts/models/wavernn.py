@@ -602,7 +602,7 @@ def generate_batch_sharded(model: WaveRNN, variables, mels_list, *, mesh,
     aux = jax.device_put(aux, row_sharding)
     output = shard_map(rowwise, mesh=mesh,
                        in_specs=(P(), P(axis), P(axis), P()),
-                       out_specs=P(axis), check_rep=False)(
+                       out_specs=P(axis), check_vma=False)(
         params, mels_up, aux, key)
     wavs, ofs = [], 0
     for count, wave_len in zip(counts, wave_lens):

@@ -38,9 +38,16 @@ def stream_mel(model: AutoregressiveTransformer, variables, inputs,
                stop_enabled: bool = True, key=None,
                _decoder_cache={}) -> Iterator[np.ndarray]:
     """Yield mel chunks (<= chunk*r frames each) for one utterance (b=1)."""
-    state, enc_pack = streaming_decode_init(
-        model, variables, inputs, ref_mel, spk_embed, r=r,
-        max_length=max_length, key=key)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    init_key = (id(model), "init", r, max_length)
+    if init_key not in _decoder_cache:
+        # one jitted program for encode + cache build: eager dispatch of the
+        # init costs ~1 s of first-audio latency on the TPU tunnel
+        _decoder_cache[init_key] = jax.jit(functools.partial(
+            streaming_decode_init, model, r=r, max_length=max_length))
+    state, enc_pack = _decoder_cache[init_key](
+        variables, inputs, ref_mel, spk_embed, key=key)
     cache_key = (id(model), chunk, r, stop_enabled)
     if cache_key not in _decoder_cache:
         _decoder_cache[cache_key] = make_chunk_decoder(
