@@ -14,6 +14,12 @@ Rules (column-parallel then row-parallel, so each block needs one psum):
     reference concatenates the raw query input before the projection
     (layers.py:144) — only the attention half of its input is head-sharded —
     so it stays replicated.
+  - embeddings (vocab, d) shard the vocab axis (row-sharded lookup table)
+  - FinalProj (d, mel*max_r) is column-parallel (the r-slice touches a prefix
+    of shards; GSPMD gathers only what the slice needs)
+  - WaveRNN: the I/fc1/fc2/fc3 projections are column-parallel; the GRU gate
+    matrices stay replicated (the r/z/n gate slicing crosses shard boundaries
+    of the 3d axis and would force per-gate resharding)
   - biases of column-parallel layers shard on their output axis.
 Everything unmatched is replicated.
 """
@@ -27,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["tp_param_specs", "apply_tp_sharding", "shard_train_state"]
 
-_COLUMN_PARALLEL = re.compile(r"(ffn/d1|mha/wq|mha/wk|mha/wv)$")
+_COLUMN_PARALLEL = re.compile(
+    r"(ffn/d1|mha/wq|mha/wk|mha/wv|FinalProj|(^|/)(I|fc1|fc2|fc3))$")
 _ROW_PARALLEL = re.compile(r"(ffn/d2)$")
 
 
@@ -39,6 +46,8 @@ def tp_param_specs(params: Any, model_axis: str = "model") -> Any:
         name = str(getattr(path[-1], "key", path[-1]))
         if leaf.ndim == 0:
             return P()
+        if name == "embedding" and leaf.ndim == 2:
+            return P(model_axis, None)
         if _COLUMN_PARALLEL.search(pathstr):
             if name == "kernel" and leaf.ndim == 2:
                 return P(None, model_axis)

@@ -72,3 +72,60 @@ class TestTPSpecs:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=3e-5)
         # and actually sharded over the model axis
         assert "model" in str(p8.sharding)
+
+
+class TestWaveRNNTensorParallel:
+    def test_wavernn_tp_step_matches_single_device(self):
+        """WaveRNN I/fc projections column-parallel over a 2x4 mesh: one
+        training step must match single-device results."""
+        from etts.models.wavernn import WaveRNN
+        from etts.train import make_wavernn_train_step
+        assert len(jax.devices()) == 8
+        model = WaveRNN(rnn_dims=16, fc_dims=16, bits=4, pad=2,
+                        upsample_factors=(2, 5), feat_dims=8, compute_dims=8,
+                        res_out_dims=8, res_blocks=1, hop_length=10,
+                        sample_rate=100, mode="RAW")
+        key = jax.random.PRNGKey(0)
+        x = jax.random.uniform(key, (4, 50), minval=-1, maxval=1)
+        y = jax.random.randint(key, (4, 50), 0, 16)
+        mels = jax.random.normal(key, (4, 9, 8))
+        variables = model.init(key, x, mels, False)
+        tx = make_optimizer([[0, 1e-3]])
+        step = make_wavernn_train_step(model, tx)
+        batch = (x, y, mels)
+
+        s1 = TrainState.create(variables, tx)
+        s1, m1 = step(s1, batch, key)
+
+        mesh = make_mesh(("data", "model"), (2, 4))
+        specs = tp_param_specs(variables["params"])
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        sharded = ["/".join(str(getattr(x_, "key", x_)) for x_ in p)
+                   for p, s in flat if s != P()]
+        assert any("fc1" in p for p in sharded)
+        assert any(p.startswith("I/") for p in sharded)
+        assert not any("rnn1_wi" in p for p in sharded)  # gates replicated
+        s8 = shard_train_state(TrainState.create(variables, tx), mesh)
+        dsh = lambda a: NamedSharding(mesh, P("data",
+                                              *([None] * (a.ndim - 1))))
+        batch8 = tuple(jax.device_put(a, dsh(a)) for a in batch)
+        s8, m8 = step(s8, batch8, key)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=2e-4)
+
+
+class TestExtendedARRules:
+    def test_embedding_and_finalproj_sharded(self):
+        from etts.models.autoregressive import AutoregressiveTransformer
+        model = AutoregressiveTransformer(
+            system_type="text", max_r=2, encoder_prenet_dimension=32,
+            decoder_prenet_dimension=32, **TINY)
+        key = jax.random.PRNGKey(0)
+        mel = jax.random.normal(key, (2, 11, 12)) * 0.3
+        phon = jax.random.randint(key, (2, 6), 1, 40)
+        variables = model.init({"params": key, "dropout": key, "prenet": key},
+                               phon, mel[:, ::2], None, r=2)
+        specs = tp_param_specs(variables["params"])
+        assert specs["TextEmbedding"]["embedding"] == P("model", None)
+        assert specs["FinalProj"]["kernel"] == P(None, "model")
+        assert specs["FinalProj"]["bias"] == P("model")
