@@ -46,17 +46,55 @@ def wer(reference: str, hypothesis: str) -> float:
     return _edit_distance(ref, hyp) / len(ref)
 
 
+_W2V2 = {}
+
+
+def _transcribe_wav2vec2(wav, sr_hz):
+    """Offline ASR via a locally-cached HuggingFace wav2vec2 CTC model
+    (greedy decode). Returns None when no weights are cached (zero-egress
+    environments cannot download them)."""
+    try:
+        import torch
+        from transformers import (Wav2Vec2ForCTC, Wav2Vec2Processor)
+        name = "facebook/wav2vec2-base-960h"
+        if "model" not in _W2V2:
+            _W2V2["proc"] = Wav2Vec2Processor.from_pretrained(
+                name, local_files_only=True)
+            _W2V2["model"] = Wav2Vec2ForCTC.from_pretrained(
+                name, local_files_only=True).eval()
+    except Exception:  # noqa: BLE001 — no package or no cached weights
+        return None
+    proc, model = _W2V2["proc"], _W2V2["model"]
+    if sr_hz != 16000:
+        from scipy.signal import resample_poly
+        wav = resample_poly(np.asarray(wav, np.float64), 16000, sr_hz)
+    inputs = proc(np.asarray(wav, np.float32), sampling_rate=16000,
+                  return_tensors="pt")
+    with torch.no_grad():
+        logits = model(inputs.input_values).logits
+    ids = logits.argmax(-1)[0]
+    return proc.decode(ids)
+
+
 def transcribe(wav_path: str):
-    """Google ASR via the optional SpeechRecognition package (the reference's
-    recognizer, objective_measure.py:101-137); None offline."""
+    """ASR for the WER-syn/WER-ori regime (objective_measure.py:101-137).
+
+    Backends, in order: (1) the reference's Google recognizer via the
+    optional SpeechRecognition package (needs network); (2) offline
+    wav2vec2-CTC when its weights are in the local HF cache. Returns None
+    when neither is available — the CSV then carries an empty WER column,
+    documented in PARITY.md (this image has no ASR weights and no egress)."""
     try:
         import speech_recognition as sr
-    except ImportError:
-        return None
-    r = sr.Recognizer()
-    with sr.AudioFile(wav_path) as source:
-        audio = r.record(source)
-    try:
+        r = sr.Recognizer()
+        with sr.AudioFile(wav_path) as source:
+            audio = r.record(source)
         return r.recognize_google(audio)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        from ..data.audio_io import load_wav
+        wav, sr_hz = load_wav(wav_path)
+        return _transcribe_wav2vec2(wav, sr_hz)
     except Exception:  # noqa: BLE001
         return None
