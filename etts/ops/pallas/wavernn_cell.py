@@ -53,7 +53,7 @@ def _uniform_from_bits(bits):
 
 
 def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
-                 log_scale_min):
+                 log_scale_min, T_real):
     def kernel(seed_ref,            # SMEM (1,)
                cond_ref,            # VMEM block (chunk, B, feat + 4*adim)
                ix_ref, wic_ref, bi_ref,          # I: x row, cond kernel, bias
@@ -62,16 +62,27 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
                wf1x_ref, wf1a_ref, bf1_ref,
                wf2x_ref, wf2a_ref, bf2_ref,
                wf3_ref, bf3_ref, clsv_ref,
+               h10_ref, h20_ref, x0_ref,         # initial state (streaming)
                out_ref,             # VMEM (chunk, B)
+               h1o_ref, h2o_ref, xo_ref,         # final state out
                h1_ref, h2_ref, x_ref):
         ci = pl.program_id(0)
+        n_chunks = pl.num_programs(0)
 
         @pl.when(ci == 0)
         def _init():
             pltpu.prng_seed(seed_ref[0])
-            h1_ref[:] = jnp.zeros((B, d), jnp.float32)
-            h2_ref[:] = jnp.zeros((B, d), jnp.float32)
-            x_ref[:] = jnp.zeros((B, LANE), jnp.float32)
+            h1_ref[:] = h10_ref[:]
+            h2_ref[:] = h20_ref[:]
+            x_ref[:] = x0_ref[:]
+
+        def step_masked(t, _):
+            # padded tail steps (>= T_real) must not advance the carried
+            # state (streaming chunks depend on the exact final state)
+            @pl.when(ci * chunk + t < T_real)
+            def _():
+                step(t, 0)
+            return 0
 
         def step(t, _):
             wdt = wi1_ref.dtype
@@ -160,7 +171,13 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
             x_ref[:] = jnp.broadcast_to(sample[:, None], (B, LANE))
             return 0
 
-        jax.lax.fori_loop(0, chunk, step, 0)
+        jax.lax.fori_loop(0, chunk, step_masked, 0)
+
+        @pl.when(ci == n_chunks - 1)
+        def _emit_state():
+            h1o_ref[:] = h1_ref[:]
+            h2o_ref[:] = h2_ref[:]
+            xo_ref[:] = x_ref[:]
 
     return kernel
 
@@ -168,7 +185,7 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
 @functools.partial(jax.jit, static_argnames=("feat", "adim", "mode",
                                              "n_classes", "log_scale_min",
                                              "chunk", "interpret",
-                                             "weight_dtype"))
+                                             "weight_dtype", "return_state"))
 def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
                         w2x, w2a, wh2, bi2, bh2,
                         wf1x, wf1a, bf1, wf2x, wf2a, bf2, wf3, bf3, seed, *,
@@ -176,11 +193,15 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
                         n_classes: int = 30,
                         log_scale_min: float = float(np.log(1e-14)),
                         chunk: int = 128, interpret: bool = False,
-                        weight_dtype=jnp.bfloat16):
+                        weight_dtype=jnp.bfloat16,
+                        state=None, return_state: bool = False):
     """Run the fused sampling loop.
 
     cond: (T, B, feat + 4*adim) raw conditioning [mels_up | a1..a4];
-    W_I: (1 + feat + adim, d) — row 0 is the sample path. Returns (T, B)."""
+    W_I: (1 + feat + adim, d) — row 0 is the sample path. Returns (T, B), or
+    ((T, B), state) with ``return_state`` — ``state`` carries the GRU hiddens
+    and feedback sample across streaming chunks (padded tail steps past T do
+    not advance it)."""
     T, B, C = cond.shape
     d = wi1.shape[0]
     fc = wf1x.shape[1]
@@ -205,13 +226,19 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
                 / max(n_classes - 1.0, 1.0) - 1.0).reshape(1, n_out)
 
     kernel = _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix,
-                          n_classes, log_scale_min)
+                          n_classes, log_scale_min, T_real=T)
+    if state is None:
+        state = {"h1": jnp.zeros((B, d), jnp.float32),
+                 "h2": jnp.zeros((B, d), jnp.float32),
+                 "x": jnp.zeros((B, LANE), jnp.float32)}
     wspec = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     wdt = weight_dtype
     f32 = jnp.float32
 
-    out = pl.pallas_call(
+    sspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    out, h1o, h2o, xo = pl.pallas_call(
         kernel,
         grid=(T_pad // chunk,),
         in_specs=[
@@ -228,10 +255,15 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
             wspec((fc, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc2
             wspec((fc, n_out)), wspec((1, n_out)),             # fc3
             wspec((1, n_out)),                                 # class values
+            sspec((B, d)), sspec((B, d)), sspec((B, LANE)),    # state in
         ],
-        out_specs=pl.BlockSpec((chunk, B), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+        out_specs=(pl.BlockSpec((chunk, B), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   sspec((B, d)), sspec((B, d)), sspec((B, LANE))),
+        out_shape=(jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+                   jax.ShapeDtypeStruct((B, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, LANE), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((B, d), jnp.float32),     # h1
             pltpu.VMEM((B, d), jnp.float32),     # h2
@@ -247,5 +279,9 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
       bi2.reshape(1, -1).astype(f32), bh2.reshape(1, -1).astype(f32),
       wf1x.astype(wdt), wf1a.astype(wdt), bf1.reshape(1, -1).astype(f32),
       wf2x.astype(wdt), wf2a.astype(wdt), bf2.reshape(1, -1).astype(f32),
-      wf3_p.astype(wdt), bf3_p.astype(f32), cls_vals)
+      wf3_p.astype(wdt), bf3_p.astype(f32), cls_vals,
+      state["h1"].astype(f32), state["h2"].astype(f32),
+      state["x"].astype(f32))
+    if return_state:
+        return out[:T], {"h1": h1o, "h2": h2o, "x": xo}
     return out[:T]

@@ -60,6 +60,11 @@ def stream_mel(model: AutoregressiveTransformer, variables, inputs,
         state, out = dec(variables, state, enc_pack)
         n_new = min(chunk, max_steps - done_steps)
         done_steps += n_new
+        if not stop_enabled:
+            # no host sync at all: the chunk chain stays fully async and
+            # downstream stages pipeline behind it (device arrays out)
+            yield out[0, :n_new * r]
+            continue
         stopped = bool(np.asarray(state["stopped"]).all())
         if stopped:
             length = int(np.asarray(state["lengths"])[0])
@@ -71,7 +76,43 @@ def stream_mel(model: AutoregressiveTransformer, variables, inputs,
         yield np.asarray(out[0, :n_new * r])
 
 
-def _jit_vocode_chunk(model: WaveRNN, n_frames: int):
+def _jit_vocode_chunk(model: WaveRNN, n_frames: int, use_pallas: bool):
+    """Jitted one-chunk vocode with carried state.
+
+    TPU path: the fused Pallas kernel with VMEM-resident weights and explicit
+    state in/out — the lax.scan path re-streams ~14 MB of weights from HBM
+    per SAMPLE (~23 us/step at 512 dims), 10x the kernel."""
+    if use_pallas:
+        from .ops.pallas.wavernn_cell import wavernn_sample_loop, LANE
+
+        @jax.jit
+        def fn(variables, mel_ctx, state):
+            mels_up, aux = model.apply(variables, mel_ctx[None], False,
+                                       method=WaveRNN.upsample_cond)
+            cond = jnp.swapaxes(jnp.concatenate([mels_up, aux], -1), 0, 1)
+            params = variables["params"]
+            d = model.rnn_dims
+            r1 = {k: params[f"rnn1_{k}"] for k in ("wi", "wh", "bi", "bh")}
+            r2 = {k: params[f"rnn2_{k}"] for k in ("wi", "wh", "bi", "bh")}
+            Wf1, bf1 = params["fc1"]["kernel"], params["fc1"]["bias"]
+            Wf2, bf2 = params["fc2"]["kernel"], params["fc2"]["bias"]
+            Wf3, bf3 = params["fc3"]["kernel"], params["fc3"]["bias"]
+            seed = jax.random.randint(state["key"], (), 0, 2 ** 31 - 1)
+            kstate = {"h1": state["h1"], "h2": state["h2"],
+                      "x": jnp.broadcast_to(state["x"], (1, LANE))}
+            out, new = wavernn_sample_loop(
+                cond, params["I"]["kernel"], params["I"]["bias"],
+                r1["wi"], r1["wh"], r1["bi"], r1["bh"],
+                r2["wi"][:d], r2["wi"][d:], r2["wh"], r2["bi"], r2["bh"],
+                Wf1[:d], Wf1[d:], bf1, Wf2[:model.fc_dims],
+                Wf2[model.fc_dims:], bf2, Wf3, bf3, seed,
+                feat=model.feat_dims, adim=model.aux_dims, mode=model.mode,
+                n_classes=model.n_classes, state=kstate, return_state=True)
+            return out[:, 0], {"h1": new["h1"], "h2": new["h2"],
+                               "x": new["x"][:, :1],
+                               "key": jax.random.fold_in(state["key"], 1)}
+        return fn
+
     @jax.jit
     def fn(variables, mel_ctx, state):
         mels_up, aux = model.apply(variables, mel_ctx[None], False,
@@ -86,6 +127,7 @@ def _jit_vocode_chunk(model: WaveRNN, n_frames: int):
 
 def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
                   chunk_frames: int = 40, mu_law: bool = True, key=None,
+                  use_pallas: bool | None = None,
                   _fn_cache={}) -> Iterator[np.ndarray]:
     """Consume an iterator of vocoder-convention mel chunks (t_i, n_mels),
     yield waveform chunks of chunk_frames*hop samples (last chunk shorter).
@@ -100,24 +142,31 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
     d = model.rnn_dims
     state = {"h1": jnp.zeros((1, d)), "h2": jnp.zeros((1, d)),
              "x": jnp.zeros((1, 1)), "key": key}
-    fkey = (id(model), chunk_frames)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from .ops.pallas import pallas_available
+    use_pallas = use_pallas and pallas_available
+    fkey = (id(model), chunk_frames, use_pallas)
     if fkey not in _fn_cache:
-        _fn_cache[fkey] = _jit_vocode_chunk(model, chunk_frames)
+        _fn_cache[fkey] = _jit_vocode_chunk(model, chunk_frames, use_pallas)
     vocode = _fn_cache[fkey]
     n_mels = model.feat_dims
-    left = np.zeros((pad, n_mels), np.float32)   # zero left pad (= generate)
-    pending = np.zeros((0, n_mels), np.float32)
+    # device-side buffering: a host round-trip per chunk would serialize the
+    # pipeline (~30-50 ms each on the TPU tunnel)
+    left = jnp.zeros((pad, n_mels), jnp.float32)  # zero left pad (= generate)
+    pending = jnp.zeros((0, n_mels), jnp.float32)
 
     def emit(ctx, state):
-        wav, state = vocode(variables, jnp.asarray(ctx), state)
+        wav, state = vocode(variables, ctx, state)
         if mu_law:
             wav = mu_law_decode(wav, model.n_classes, from_labels=False)
-        return np.asarray(wav), state
+        return wav, state
 
     for mel in mel_chunks:
-        pending = np.concatenate([pending, np.asarray(mel, np.float32)])
+        pending = jnp.concatenate([pending,
+                                   jnp.asarray(mel, jnp.float32)])
         while pending.shape[0] >= chunk_frames + pad:
-            ctx = np.concatenate([left, pending[:chunk_frames + pad]])
+            ctx = jnp.concatenate([left, pending[:chunk_frames + pad]])
             wav, state = emit(ctx, state)
             yield wav
             left = pending[chunk_frames - pad:chunk_frames]
@@ -125,10 +174,10 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
     # flush: zero right pad (matches the one-shot path's trailing zero pad)
     if pending.shape[0] > 0:
         n = pending.shape[0]
-        ctx = np.concatenate([left, pending,
-                              np.zeros((pad, n_mels), np.float32)])
+        ctx = jnp.concatenate([left, pending,
+                               jnp.zeros((pad, n_mels), jnp.float32)])
         # jit cache key is the frame count; flush sizes vary -> plain call
-        mels_up, aux = model.apply(variables, jnp.asarray(ctx)[None], False,
+        mels_up, aux = model.apply(variables, ctx[None], False,
                                    method=WaveRNN.upsample_cond)
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
@@ -137,7 +186,7 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
         wav = wav[0]
         if mu_law:
             wav = mu_law_decode(wav, model.n_classes, from_labels=False)
-        yield np.asarray(wav)
+        yield wav
 
 
 def stream_synthesize(tts_model, tts_variables, voc_model, voc_variables,
@@ -158,7 +207,7 @@ def stream_synthesize(tts_model, tts_variables, voc_model, voc_variables,
                       chunk=mel_chunk, r=r, max_length=max_length,
                       prenet_dropout=prenet_dropout,
                       stop_enabled=stop_enabled, key=k_tts)
-    scaled = ((np.asarray(m) + 4.0) / 8.0 for m in mels)
+    scaled = ((jnp.asarray(m) + 4.0) / 8.0 for m in mels)  # stays on device
     yield from stream_vocode(voc_model, voc_variables, scaled,
                              chunk_frames=mel_chunk * r, mu_law=mu_law,
                              key=k_voc)

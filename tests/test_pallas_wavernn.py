@@ -133,3 +133,31 @@ class TestKernelInterpret:
         cond = _cond(jax.random.fold_in(key, 5))
         got = _call_kernel(cond, w, seed=7, mode="MOL")
         np.testing.assert_allclose(np.asarray(got), 0.5, atol=0.02)
+
+
+class TestStreamingState:
+    def test_chunked_state_carry_matches_one_shot(self):
+        """Deterministic (peaky RAW) sampling: running the kernel in two
+        chunks with carried state must equal one full-length call."""
+        key = jax.random.PRNGKey(7)
+        n_classes = 16
+        w = _weights(key, n_classes)
+        w["wf3"] = w["wf3"] * 100.0
+        cond = _cond(jax.random.fold_in(key, 1))
+
+        full = _call_kernel(cond, w, seed=3, mode="RAW", n_classes=n_classes)
+
+        def call(c, state):
+            return wavernn_sample_loop(
+                c, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"],
+                w["bh1"], w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+                w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"],
+                w["bf2"], w["wf3"], w["bf3"], 3, feat=FEAT, adim=ADIM,
+                chunk=4, interpret=True, weight_dtype=jnp.float32,
+                mode="RAW", n_classes=n_classes, state=state,
+                return_state=True)
+
+        out1, st = call(cond[:7], None)   # 7 steps: exercises tail masking
+        out2, _ = call(cond[7:], st)
+        got = np.concatenate([np.asarray(out1), np.asarray(out2)])
+        np.testing.assert_allclose(got, np.asarray(full), atol=1e-5)
