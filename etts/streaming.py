@@ -18,7 +18,7 @@ full-sequence computation in the interior.
 from __future__ import annotations
 
 import functools
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

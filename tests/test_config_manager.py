@@ -81,3 +81,30 @@ class TestConfigManager:
     def test_invalid_kind_raises(self, config_dir):
         with pytest.raises(TypeError):
             ConfigManager(str(config_dir), "nonexistent")
+
+
+def test_precision_key_sets_model_dtype(tmp_path):
+    """config `precision: bfloat16` -> bf16 compute dtype on the model
+    (params stay fp32 master copies; see tests/test_overfit.py)."""
+    import jax.numpy as jnp
+    import shutil
+    import yaml
+    cfg = tmp_path / "cfg"
+    shutil.copytree("configs/default", cfg)
+    for name, extra in [("autoregressive_config.yaml", {}),
+                        ("forward_config.yaml", {})]:
+        f = cfg / name
+        d = yaml.safe_load(f.read_text())
+        d["precision"] = "bfloat16"
+        f.write_text(yaml.safe_dump(d))
+    dc = cfg / "data_config.yaml"
+    d = yaml.safe_load(dc.read_text())
+    d["data_directory"] = str(tmp_path)
+    d["log_directory"] = str(tmp_path / "logs")
+    d["train_data_directory"] = str(tmp_path)
+    dc.write_text(yaml.safe_dump(d))
+    from etts.utils.config import ConfigManager
+    for kind in ("autoregressive", "forward"):
+        cm = ConfigManager(str(cfg), kind)
+        model = cm.get_model(ignore_hash=True)
+        assert model.dtype == jnp.bfloat16, kind
