@@ -232,11 +232,11 @@ def main():
     from etts.train import (TrainState, make_optimizer,
                             make_autoregressive_train_step)
 
-    def bench_train(dtype):
+    def bench_train(dtype, b=8):
         m = AutoregressiveTransformer(system_type="speaker_style_text",
                                       mel_channels=MEL_C, vocab_size=130,
                                       max_r=10, dtype=dtype)
-        b, t_mel, t_txt = 8, 384, 64
+        t_mel, t_txt = 384, 64
         kb = jax.random.PRNGKey(7)
         tmel = jax.random.normal(kb, (b, t_mel, MEL_C)) * 0.5
         tmel = tmel.at[:, 0].set(0.5).at[:, -1].set(-0.5)
@@ -267,6 +267,9 @@ def main():
 
     train_fp32_sec, mfu_train_fp32 = bench_train(jnp.float32)
     train_bf16_sec, mfu_train_bf16 = bench_train(jnp.bfloat16)
+    # the step is dispatch-bound at batch 8; per-chip throughput scales
+    # nearly free with batch (b=32 runs at ~the same wall time)
+    train_b32_sec, mfu_train_b32 = bench_train(jnp.bfloat16, b=32)
 
     # per-path MFU (bf16 chip peak as denominator everywhere)
     dec_flops = _decode_step_flops(tts, n_enc=t_text, t_avg=decode_steps // 2)
@@ -299,6 +302,9 @@ def main():
             "bf16_train_speedup": round(train_fp32_sec / train_bf16_sec, 2),
             "mfu_train_fp32": round(mfu_train_fp32, 4),
             "mfu_train_bf16": round(mfu_train_bf16, 4),
+            "train_step_bf16_b32_ms": round(train_b32_sec * 1e3, 2),
+            "mfu_train_bf16_b32": round(mfu_train_b32, 4),
+            "train_samples_per_sec_b32": round(32 / train_b32_sec, 1),
             "mfu_ar_decode": round(mfu_decode, 4),
             "mfu_vocoder_kernel": round(mfu_vocoder, 4),
             "peak_flops": _peak_flops(),
