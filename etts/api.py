@@ -58,9 +58,12 @@ class TTSSynthesizer:
 
     def _can_fuse(self) -> bool:
         """Fused Pallas decode supports: TPU, r=1, all-dense decoder blocks
-        with a uniform head count (the flagship geometry)."""
+        with a uniform head count (the flagship geometry). Tiny/debug dims
+        stay on the while_loop path — the TPU compiler rejects (or crawls on)
+        degenerate sub-lane shapes (BENCH_NOTES round-1 note)."""
         m = self.model
         return (self.r == 1 and jax.default_backend() == "tpu"
+                and m.decoder_model_dimension >= 128
                 and m.decoder_dense_blocks == len(m.decoder_num_heads)
                 and len(set(m.decoder_num_heads)) == 1)
 
