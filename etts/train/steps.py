@@ -111,14 +111,21 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
                                    train_text_encoder: bool = True,
                                    train_style_encoder: bool = True,
                                    train_decoder: bool = True,
-                                   adversarial_mine=None):
+                                   adversarial_mine=None,
+                                   seq_sharding=None):
     """``adversarial_mine``: optional zoo of ``(kind, net)`` MINE/CLUB modules
     (as built by the driver). When given, the step signature becomes
     ``step(state, batch, mine_params_list, mi_state, rng, *, r, ...)`` and the
     MI estimate is computed INSIDE the TTS loss tape on the live embeddings, so
     ``mi_weight_factor`` genuinely pushes the encoders toward disentanglement.
     The faithful default (None) keeps the reference's gradient-free hinge on
-    the previous step's scalar (`traning_steps.py:53`)."""
+    the previous step's scalar (`traning_steps.py:53`).
+
+    ``seq_sharding``: optional NamedSharding (e.g. P('data', 'seq', None))
+    applied to the teacher-forcing mel tensors — context parallelism for very
+    long reference audio: GSPMD keeps LN/FFN/conv activations sharded along
+    time (spatial conv partitioning with halo exchange) and inserts the
+    gathers attention needs. SURVEY §5 long-context strategy, TPU-native."""
     stop_ce = new_scaled_crossentropy(index=2, scaling=stop_scaling)
     loss_fns = (masked_mean_absolute_error, stop_ce,
                 masked_mean_absolute_error)
@@ -127,8 +134,13 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
     def step(state, batch, mi_loss, rng, *, r: int, prenet_dropout=0.5,
              drop_n_heads=0):
         mel, phonemes, stop, spk = batch
+        if seq_sharding is not None:
+            mel = jax.lax.with_sharding_constraint(mel, seq_sharding)
         spk_in = spk[:, None, :] if model.has_speaker else None
         tar_real, tar_mel, tar_stop, mel_len = model.input_reshape(mel, stop, r)
+        if seq_sharding is not None:
+            tar_real = jax.lax.with_sharding_constraint(tar_real, seq_sharding)
+            tar_mel = jax.lax.with_sharding_constraint(tar_mel, seq_sharding)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

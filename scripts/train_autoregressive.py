@@ -149,6 +149,17 @@ def main():
     # previous-step hinge)
     adversarial = bool(config.get("mine_adversarial")) and \
         bool(config.get("use_mine"))
+    # optional context parallelism over a 'seq' mesh axis for very long
+    # reference audio (config sequence_parallel: N shards t_mel N ways)
+    seq_n = int(config.get("sequence_parallel", 1))
+    mesh = None
+    seq_sharding = None
+    if seq_n > 1 and len(jax.devices()) >= seq_n:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = make_mesh(("data", "seq"), (-1, seq_n))
+        seq_sharding = NamedSharding(mesh, P("data", "seq", None))
+    elif len(jax.devices()) > 1:
+        mesh = make_mesh(("data",))
     train_step = make_autoregressive_train_step(
         model, tx,
         stop_scaling=config.get("stop_loss_scaling", 1.0),
@@ -157,9 +168,9 @@ def main():
         train_text_encoder=config.get("train_text_encoder", True),
         train_style_encoder=config.get("train_style_encoder", True),
         train_decoder=config.get("train_decoder", True),
-        adversarial_mine=(mine_nets if adversarial else None))
+        adversarial_mine=(mine_nets if adversarial else None),
+        seq_sharding=seq_sharding)
 
-    mesh = make_mesh(("data",)) if len(jax.devices()) > 1 else None
     if mesh is not None:
         state = replicate(state, mesh)
 
