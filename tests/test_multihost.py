@@ -8,11 +8,18 @@ same global batch. SURVEY §2.5 multi-host obligation.
 """
 import os
 import re
+import socket
 import subprocess
 import sys
 
 import numpy as np
 import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = ["-m", "etts.parallel._multihost_worker"]
@@ -37,18 +44,18 @@ def _loss_of(out: str) -> float:
 
 
 def test_two_process_dp_matches_single_process():
-    port = 29000 + os.getpid() % 1000
     # single-process reference: same global batch, 4 local devices
-    ref = _run_worker(port + 1, 0, 1, devices=4)
-    ref_out, _ = ref.communicate(timeout=300)
+    ref = _run_worker(_free_port(), 0, 1, devices=4)
+    ref_out, _ = ref.communicate(timeout=600)
     assert ref.returncode == 0, ref_out
     ref_loss = _loss_of(ref_out)
 
     # two processes x 2 devices = the same 4-device global mesh over "DCN"
+    port = _free_port()
     procs = [_run_worker(port, pid, 2) for pid in (0, 1)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
         assert p.returncode == 0, out
     losses = [_loss_of(o) for o in outs]
