@@ -158,6 +158,43 @@ class TTSSynthesizer:
         """Reference-audio wav -> normalized mel (t, n_mels)."""
         return np.asarray(self.audio.mel_spectrogram(np.asarray(wav))).T
 
+    # -- streaming ----------------------------------------------------------
+
+    def _stream_inputs(self, text, ref_mel, spk_embed):
+        inp = jnp.asarray(self.encode_text(text))[None]
+        ref = None
+        if ref_mel is not None and self.model.has_style:
+            ref = self.model.encode_ref(jnp.asarray(ref_mel), r=self.r)
+        spk = None
+        if spk_embed is not None and self.model.has_speaker:
+            spk = jnp.asarray(spk_embed).reshape(1, 1, -1)
+        return inp, ref, spk
+
+    def stream_mels(self, text, ref_mel=None, spk_embed=None, *,
+                    mel_chunk: int = 40, max_length: int = 1000, key=None):
+        """Yield mel chunks as they decode (low-latency serving)."""
+        from .streaming import stream_mel
+        inp, ref, spk = self._stream_inputs(text, ref_mel, spk_embed)
+        yield from stream_mel(self.model, self.variables, inp, ref, spk,
+                              chunk=mel_chunk, r=self.r,
+                              max_length=max_length,
+                              prenet_dropout=self.prenet_dropout, key=key)
+
+    def stream(self, text, vocoder: "VocoderSynthesizer", ref_mel=None,
+               spk_embed=None, *, mel_chunk: int = 40, max_length: int = 1000,
+               key=None):
+        """Yield waveform chunks end to end (text -> streamed audio).
+
+        Applies the (mel+4)/8 vocoder contract between the stages; first
+        audio in ~7 ms at 0.2 s chunks on a v5e (BENCH_NOTES)."""
+        from .streaming import stream_synthesize
+        inp, ref, spk = self._stream_inputs(text, ref_mel, spk_embed)
+        yield from stream_synthesize(
+            self.model, self.variables, vocoder.model, vocoder.variables,
+            inp, ref, spk, r=self.r, max_length=max_length,
+            mel_chunk=mel_chunk, prenet_dropout=self.prenet_dropout,
+            mu_law=vocoder.config.get("mu_law", True), key=key)
+
 
 class VocoderSynthesizer:
     """Batch-folded WaveRNN vocoder (reference `synthesizer_wavernn.py`)."""

@@ -221,3 +221,11 @@ def test_serving_apis(workspace):
     for m in mels:
         assert m.ndim == 2 and m.shape[1] == 80 and m.shape[0] >= 1
         assert np.isfinite(m).all()
+
+    # streamed mel serving: chunks concatenate to a well-formed mel
+    chunks = list(tts.stream_mels("stream me", ref_mel=ref_mel,
+                                  mel_chunk=4, max_length=11,
+                                  key=jax.random.PRNGKey(2)))
+    assert len(chunks) >= 1
+    full = np.concatenate([np.asarray(c) for c in chunks])
+    assert full.shape[1] == 80 and np.isfinite(full).all()
