@@ -46,13 +46,16 @@ def _split_rngs(rng, names):
 # Forward transformer
 # ---------------------------------------------------------------------------
 
-def make_forward_train_step(model, tx, max_frames: int):
+def make_forward_train_step(model, tx, max_frames: int, seq_sharding=None):
     """Loss weights [3, 1] (mel, duration) — forward `_compile`
-    (models.py:407-412)."""
+    (models.py:407-412). ``seq_sharding``: optional context-parallel
+    NamedSharding for the target mels (see make_autoregressive_train_step)."""
 
     @jax.jit
     def step(state, batch, rng):
         mel, phonemes, durations = batch
+        if seq_sharding is not None:
+            mel = jax.lax.with_sharding_constraint(mel, seq_sharding)
         durations = durations[..., None]
         mel_len = mel.shape[1]
 
