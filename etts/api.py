@@ -57,12 +57,13 @@ class TTSSynthesizer:
         return self._decode_cache[max_length]
 
     def _can_fuse(self) -> bool:
-        """Fused Pallas decode supports: TPU, r=1, all-dense decoder blocks
-        with a uniform head count (the flagship geometry). Tiny/debug dims
-        stay on the while_loop path — the TPU compiler rejects (or crawls on)
-        degenerate sub-lane shapes (BENCH_NOTES round-1 note)."""
+        """Fused Pallas decode supports: TPU, any reduction factor r,
+        all-dense decoder blocks with a uniform head count (the flagship
+        geometry). Tiny/debug dims stay on the while_loop path — the TPU
+        compiler rejects (or crawls on) degenerate sub-lane shapes
+        (BENCH_NOTES round-1 note)."""
         m = self.model
-        return (self.r == 1 and jax.default_backend() == "tpu"
+        return (jax.default_backend() == "tpu"
                 and m.decoder_model_dimension >= 128
                 and m.decoder_dense_blocks == len(m.decoder_num_heads)
                 and len(set(m.decoder_num_heads)) == 1)
@@ -76,7 +77,7 @@ class TTSSynthesizer:
         if ck not in self._decode_cache:
             from .models.autoregressive import AutoregressiveTransformer
             from .ops.pallas.decoder_step import make_fused_decoder
-            decode = make_fused_decoder(self.model,
+            decode = make_fused_decoder(self.model, r=self.r,
                                         max_steps=max_length // self.r + 1)
 
             @jax.jit

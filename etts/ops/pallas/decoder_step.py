@@ -52,6 +52,7 @@ def _uniform_from_bits(bits):
 
 def _make_kernel(cfg):
     compute_dtype = jnp.dtype(cfg["compute_dtype"])
+    r = cfg["r"]
     d = cfg["d"]
     pd = cfg["prenet_dim"]
     mel = cfg["mel"]
@@ -107,7 +108,7 @@ def _make_kernel(cfg):
 
         pltpu.prng_seed(seed_ref[0])
         # zero state
-        out_ref[:] = jnp.zeros((T, LANE), f32)
+        out_ref[:] = jnp.zeros((T * r, LANE), f32)
         for blk in range(nb):
             # f32 caches: Mosaic can mask single-row dynamic stores for f32
             # (8-sublane tiles) but not for packed bf16 (16-sublane) tiles
@@ -193,39 +194,47 @@ def _make_kernel(cfg):
                     y = dot(y, f2_ref[blk]) + bf2_ref[blk]
                     y = jnp.maximum(layer_norm(y, blk, 3), 0.0)
                     x = layer_norm(x2 + y, blk, 4)
-                # ---- final projection (r=1 slice) ----
-                mel_lin = dot(x, fpw_ref[:]) + fpb_ref[:]    # (1, LANE)
-                # ---- incremental causal postnet ----
-                h0_ref[0:kp - 1, :] = h0_ref[1:kp, :]
-                h0_ref[kp - 1:kp, :] = mel_lin
-                y = jnp.zeros((1, cf), f32)
-                for j in range(kp):
-                    y = y + dot(h0_ref[j:j + 1, :], pconv0_ref[j])
-                y = jnp.tanh(y * ps_ref[0:1, :cf] + psh_ref[0:1, :cf])
-                for li in range(npost - 2):
-                    base = li * kp
-                    hmid_ref[base:base + kp - 1, :] = \
-                        hmid_ref[base + 1:base + kp, :]
-                    hmid_ref[base + kp - 1:base + kp, :] = y
+                # ---- final projection: r frames packed at LANE offsets ---
+                mel_lin_r = dot(x, fpw_ref[:]) + fpb_ref[:]  # (1, r*LANE)
+
+                def postnet_frame(mel_lin):
+                    """One causal-postnet frame via the ring buffers."""
+                    h0_ref[0:kp - 1, :] = h0_ref[1:kp, :]
+                    h0_ref[kp - 1:kp, :] = mel_lin
                     y = jnp.zeros((1, cf), f32)
                     for j in range(kp):
-                        y = y + dot(hmid_ref[base + j:base + j + 1, :],
-                                    pconv_mid_ref[li * kp + j])
-                    y = jnp.tanh(y * ps_ref[li + 1:li + 2, :cf]
-                                 + psh_ref[li + 1:li + 2, :cf])
-                hlast_ref[0:kp - 1, :] = hlast_ref[1:kp, :]
-                hlast_ref[kp - 1:kp, :] = y
-                y = jnp.zeros((1, LANE), f32)
-                for j in range(kp):
-                    y = y + dot(hlast_ref[j:j + 1, :], pconv_last_ref[j])
-                y = y * ps_ref[npost - 1:npost, :LANE] \
-                    + psh_ref[npost - 1:npost, :LANE]      # linear last conv
-                final = (mel_lin + y) * outs_ref[:] + outb_ref[:]
-                out_ref[t, :] = final[0]
-                # ---- stop head on the mel_linear frame ----
-                stop_logits = dot(mel_lin, stopw_ref[:]) + stopb_ref[:]
+                        y = y + dot(h0_ref[j:j + 1, :], pconv0_ref[j])
+                    y = jnp.tanh(y * ps_ref[0:1, :cf] + psh_ref[0:1, :cf])
+                    for li in range(npost - 2):
+                        base = li * kp
+                        hmid_ref[base:base + kp - 1, :] = \
+                            hmid_ref[base + 1:base + kp, :]
+                        hmid_ref[base + kp - 1:base + kp, :] = y
+                        y = jnp.zeros((1, cf), f32)
+                        for j in range(kp):
+                            y = y + dot(hmid_ref[base + j:base + j + 1, :],
+                                        pconv_mid_ref[li * kp + j])
+                        y = jnp.tanh(y * ps_ref[li + 1:li + 2, :cf]
+                                     + psh_ref[li + 1:li + 2, :cf])
+                    hlast_ref[0:kp - 1, :] = hlast_ref[1:kp, :]
+                    hlast_ref[kp - 1:kp, :] = y
+                    y = jnp.zeros((1, LANE), f32)
+                    for j in range(kp):
+                        y = y + dot(hlast_ref[j:j + 1, :], pconv_last_ref[j])
+                    y = y * ps_ref[npost - 1:npost, :LANE] \
+                        + psh_ref[npost - 1:npost, :LANE]   # linear last conv
+                    return (mel_lin + y) * outs_ref[:] + outb_ref[:]
+
+                final = None
+                for fj in range(r):
+                    fr = mel_lin_r[:, fj * LANE:(fj + 1) * LANE]
+                    final = postnet_frame(fr)
+                    out_ref[t * r + fj, :] = final[0]
+                # ---- stop head on the NEWEST mel_linear frame ----
+                last_lin = mel_lin_r[:, (r - 1) * LANE:r * LANE]
+                stop_logits = dot(last_lin, stopw_ref[:]) + stopb_ref[:]
                 cls = jnp.argmax(stop_logits, axis=-1)[0]
-                state_ref[1] = t + 1
+                state_ref[1] = (t + 1) * r
                 if stop_enabled:
                     @pl.when(cls == stop_index)
                     def _():
@@ -242,13 +251,15 @@ def _make_kernel(cfg):
     return kernel
 
 
-def build_decode_inputs(model, variables, enc_output):
+def build_decode_inputs(model, variables, enc_output, r: int = 1):
     """Stack/transform flax params into the kernel's input arrays.
 
     enc_output: (1, n_enc, dim_enc) conditioning from ``model.encode``.
     Returns (arrays dict, static cfg dict). Cited layout contracts:
     concat-query out projection `layers.py:144`; BatchNorm folded to
-    per-channel scale/shift from batch_stats (inference semantics).
+    per-channel scale/shift from batch_stats (inference semantics). ``r``:
+    the reduction factor — FinalProj's r*mel outputs are repacked so frame j
+    sits at lane offset j*LANE (legal 128-aligned slices in the kernel).
     """
     p = variables["params"]
     bs = variables["batch_stats"]
@@ -308,11 +319,13 @@ def build_decode_inputs(model, variables, enc_output):
     arrays["ck"] = jnp.stack(cks)
     arrays["cv"] = jnp.stack(cvs)
 
-    # final projection, r=1 slice, mel lanes padded to LANE
-    fpw = p["FinalProj"]["kernel"][:, :mel]
-    fpb = p["FinalProj"]["bias"][:mel]
-    arrays["fpw"] = jnp.pad(fpw, ((0, 0), (0, LANE - mel)))
-    arrays["fpb"] = jnp.pad(fpb, (0, LANE - mel))[None]
+    # final projection: r frames repacked at LANE-aligned lane offsets
+    fpw = p["FinalProj"]["kernel"][:, :r * mel].reshape(d, r, mel)
+    fpb = p["FinalProj"]["bias"][:r * mel].reshape(r, mel)
+    arrays["fpw"] = jnp.pad(fpw, ((0, 0), (0, 0), (0, LANE - mel))
+                            ).reshape(d, r * LANE)
+    arrays["fpb"] = jnp.pad(fpb, ((0, 0), (0, LANE - mel))
+                            ).reshape(1, r * LANE)
 
     # postnet: fold conv bias + BatchNorm (inference) into scale/shift
     post = p["Postnet"]["conv_blocks"]
@@ -368,7 +381,7 @@ def build_decode_inputs(model, variables, enc_output):
     arrays["stopb"] = jnp.pad(sb, (0, LANE - 3), constant_values=NEG)[None]
 
     cfg = dict(d=d, prenet_dim=model.decoder_prenet_dimension, mel=mel,
-               n_blocks=nb, n_heads=nh,
+               r=r, n_blocks=nb, n_heads=nh,
                ffn=model.decoder_feed_forward_dimension,
                n_enc=n_enc, n_enc_real=n_enc_real, k_post=kp, n_post=npost,
                cf=cf, stop_index=model.stop_prob_index,
@@ -382,7 +395,7 @@ def _fused_decode_call(arrays, pe, seed, rate, *, t_max, stop_enabled,
                        interpret, cfg_key):
     cfg = dict(cfg_key)
     cfg.update(t_max=t_max, stop_enabled=stop_enabled)
-    d, nb = cfg["d"], cfg["n_blocks"]
+    d, nb, r = cfg["d"], cfg["n_blocks"], cfg["r"]
     kp, npost, cf = cfg["k_post"], cfg["n_post"], cfg["cf"]
     kernel = _make_kernel(cfg)
     bf = jnp.dtype(cfg["compute_dtype"])
@@ -402,7 +415,7 @@ def _fused_decode_call(arrays, pe, seed, rate, *, t_max, stop_enabled,
         + [vmem()] * 32,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        out_shape=(jax.ShapeDtypeStruct((t_max, LANE), f32),
+        out_shape=(jax.ShapeDtypeStruct((t_max * r, LANE), f32),
                    jax.ShapeDtypeStruct((2,), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((t_max, d), f32)
                         for _ in range(2 * nb)]       # per-block K, V caches
@@ -435,7 +448,8 @@ def _fused_decode_call(arrays, pe, seed, rate, *, t_max, stop_enabled,
     return out, length
 
 
-def make_fused_decoder(model, *, max_steps: int, stop_enabled: bool = True,
+def make_fused_decoder(model, *, max_steps: int, r: int = 1,
+                       stop_enabled: bool = True,
                        interpret: bool = False, compute_dtype="bfloat16"):
     """One jitted program: weight stacking + cross-KV precompute + kernel.
 
@@ -446,13 +460,15 @@ def make_fused_decoder(model, *, max_steps: int, stop_enabled: bool = True,
     (mel (1,T,mel), length, steps)``.
     """
     t_max = _round_up(max_steps, 8)
+    # decode_step adds pe[step * r] (r-strided positional encoding,
+    # `layers.py:245`); pre-stride the table so the kernel reads pe[t]
     pe_full = np.asarray(_positional_encoding(
         model.decoder_maximum_position_encoding,
-        model.decoder_model_dimension))[0, :t_max, :]
+        model.decoder_model_dimension))[0, ::r, :][:t_max, :]
 
     @jax.jit
     def decode(variables, enc_output, key, prenet_dropout):
-        arrays, cfg = build_decode_inputs(model, variables, enc_output)
+        arrays, cfg = build_decode_inputs(model, variables, enc_output, r)
         cfg["compute_dtype"] = str(compute_dtype)
         cfg_key = tuple(sorted(cfg.items()))
         seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
@@ -467,21 +483,22 @@ def make_fused_decoder(model, *, max_steps: int, stop_enabled: bool = True,
 
 
 def fused_decode(model, variables, enc_output, *, max_steps: int,
-                 key=None, prenet_dropout: float = 0.5,
+                 r: int = 1, key=None, prenet_dropout: float = 0.5,
                  stop_enabled: bool = True, interpret: bool = False,
                  compute_dtype="bfloat16", _cache={}):
-    """Run the fused decode kernel. Returns (mel (1, T, mel), length, steps).
+    """Run the fused decode kernel. Returns (mel (1, T*r, mel), length,
+    steps); length counts FRAMES.
 
-    enc_output from ``model.encode``; batch 1, r=1 only. Caches the jitted
-    decoder per (model, max_steps, flags).
+    enc_output from ``model.encode``; batch 1. Caches the jitted decoder per
+    (model, max_steps, r, flags).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    ck = (id(model), _round_up(max_steps, 8), stop_enabled, interpret,
+    ck = (id(model), _round_up(max_steps, 8), r, stop_enabled, interpret,
           str(compute_dtype))
     if ck not in _cache:
         _cache[ck] = make_fused_decoder(
-            model, max_steps=max_steps, stop_enabled=stop_enabled,
+            model, max_steps=max_steps, r=r, stop_enabled=stop_enabled,
             interpret=interpret, compute_dtype=compute_dtype)
     return _cache[ck](variables, enc_output, key, prenet_dropout)
 

@@ -138,3 +138,33 @@ def test_fused_decode_dropout_is_applied():
                           stop_enabled=False, interpret=True)
     assert np.isfinite(np.asarray(m1)).all()
     assert not np.allclose(np.asarray(m0), np.asarray(m1))
+
+
+def test_fused_decode_r2_matches_while_loop():
+    """Reduction factor r=2: the kernel emits 2 frames/step through the
+    packed FinalProj lanes and the per-frame postnet ring; strict f32 parity
+    with the while_loop decode."""
+    model, variables, phon = _model_and_vars()
+    variables = jax.tree.map(
+        lambda x: (x.astype(jnp.bfloat16).astype(jnp.float32)
+                   if x.ndim >= 2 else x), variables)
+    key = jax.random.PRNGKey(4)
+    r, steps = 2, 8  # 16 frames
+
+    ref = autoregressive_predict(model, variables, phon, None, None, r=r,
+                                 max_length=steps * r - 1, key=key,
+                                 prenet_dropout=0.0, stop_enabled=False)
+    want = np.asarray(ref["mel"][0])
+
+    enc_out, *_ = model.apply(
+        variables, phon, None, None, False, False, 0,
+        method=AutoregressiveTransformer.encode,
+        rngs={"dropout": key, "prenet": key})
+    mel, length, n = fused_decode(model, variables, enc_out,
+                                  max_steps=steps, r=r, key=key,
+                                  prenet_dropout=0.0, stop_enabled=False,
+                                  interpret=True, compute_dtype="float32")
+    got = np.asarray(mel[0][:want.shape[0]])
+    err = np.abs(got - want)
+    assert err.max() < 5e-3, (err.max(), err.mean())
+    assert int(length) == steps * r
