@@ -56,24 +56,44 @@ def stream_mel(model: AutoregressiveTransformer, variables, inputs,
     dec = _decoder_cache[cache_key]
     max_steps = int(max_length) // r + 1
     done_steps = 0
-    while done_steps < max_steps:
-        state, out = dec(variables, state, enc_pack)
-        n_new = min(chunk, max_steps - done_steps)
-        done_steps += n_new
-        if not stop_enabled:
+    if not stop_enabled:
+        while done_steps < max_steps:
+            state, out = dec(variables, state, enc_pack)
+            n_new = min(chunk, max_steps - done_steps)
+            done_steps += n_new
             # no host sync at all: the chunk chain stays fully async and
             # downstream stages pipeline behind it (device arrays out)
             yield out[0, :n_new * r]
-            continue
-        stopped = bool(np.asarray(state["stopped"]).all())
-        if stopped:
-            length = int(np.asarray(state["lengths"])[0])
-            offset = (done_steps - n_new) * r
-            take = max(0, min(length - offset, n_new * r))
-            if take > 0:
-                yield np.asarray(out[0, :take])
-            return
-        yield np.asarray(out[0, :n_new * r])
+        return
+
+    # stop-enabled: the stop decision needs a host sync; LAG it one chunk so
+    # the sync overlaps the next chunk's device compute instead of
+    # serializing the pipeline (~50 ms per sync on a congested TPU tunnel).
+    # One speculative chunk may decode past the stop; it is discarded.
+    pending = None  # (state_after, out, offset_frames, n_frames)
+    while done_steps < max_steps:
+        new_state, out = dec(variables, state, enc_pack)
+        n_new = min(chunk, max_steps - done_steps)
+        if pending is not None:
+            p_state, p_out, p_off, p_n = pending
+            stopped = bool(np.asarray(p_state["stopped"]).all())
+            if stopped:
+                length = int(np.asarray(p_state["lengths"])[0])
+                take = max(0, min(length - p_off, p_n))
+                if take > 0:
+                    yield np.asarray(p_out[0, :take])
+                return
+            yield np.asarray(p_out[0, :p_n])
+        pending = (new_state, out, done_steps * r, n_new * r)
+        done_steps += n_new
+        state = new_state
+    if pending is not None:
+        p_state, p_out, p_off, p_n = pending
+        length = int(np.asarray(p_state["lengths"])[0])
+        stopped = bool(np.asarray(p_state["stopped"]).all())
+        take = max(0, min(length - p_off, p_n)) if stopped else p_n
+        if take > 0:
+            yield np.asarray(p_out[0, :take])
 
 
 def _jit_vocode_chunk(model: WaveRNN, n_frames: int, use_pallas: bool):
