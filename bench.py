@@ -155,7 +155,6 @@ def main():
     tts_decode_j = jax.jit(tts_decode)
     mel = tts_decode_j(key)  # compile
     mel.block_until_ready()
-    N_TTS = 3
     tts_while_loop_time = _best_of(
         lambda i: tts_decode_j(jax.random.fold_in(key, i)))
     tts_time = tts_while_loop_time

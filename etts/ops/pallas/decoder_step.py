@@ -54,7 +54,6 @@ def _make_kernel(cfg):
     compute_dtype = jnp.dtype(cfg["compute_dtype"])
     r = cfg["r"]
     d = cfg["d"]
-    pd = cfg["prenet_dim"]
     mel = cfg["mel"]
     nb = cfg["n_blocks"]
     nh = cfg["n_heads"]
