@@ -88,10 +88,12 @@ def main():
               f"{args.workers} workers")
         with Pool(args.workers) as pool:
             results = pool.map(partial(score_pair, sr=args.sr), pairs)
-        # per-model per-file CSV
+        # per-model per-file CSV, next to the aggregate log (the reference
+        # wrote into the CWD; keep outputs where --out points)
         import csv
         model_name = Path(syn_dir).name
-        with open(f"score_{model_name}.csv", "w", newline="") as f:
+        csv_path = Path(args.out).parent / f"score_{model_name}.csv"
+        with open(csv_path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=["file"] + metric_keys)
             writer.writeheader()
             for r in results:
