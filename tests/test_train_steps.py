@@ -152,6 +152,28 @@ class TestAutoregressiveTraining:
         assert np.isfinite(mi_vals[-1])
         assert mi_vals[-1] < mi_vals[0], mi_vals
 
+    def test_adversarial_club_branch(self):
+        """adversarial_mine with a CLUB net: the upper BOUND (not lld) enters
+        the tape and the step runs/produces finite mi_live."""
+        from etts.models.mine import CLUB
+        model, state, _, batch, tx = self._setup()
+        key = jax.random.PRNGKey(6)
+        club = CLUB(pair_type="style_text", dense_hidden_units=(16,),
+                    out_dim=32)
+        mi_state = MIState.create(1)
+        plain = make_autoregressive_train_step(model, tx)
+        state, _, aux = plain(state, batch, jnp.zeros(()), key, r=5,
+                              prenet_dropout=0.0)
+        club_vars = club.init(key, aux["text_enc_output"], aux["gst_output"],
+                              batch[3][:, None, :], mi_state, key)
+        adv = make_autoregressive_train_step(
+            model, tx, mi_weight_factor=1.0,
+            adversarial_mine=[("CLUB", club)])
+        state, m, _ = adv(state, batch, ([club_vars["params"]], mi_state),
+                          key, r=5, prenet_dropout=0.0)
+        assert np.isfinite(float(m["mi_live"]))
+        assert np.isfinite(float(m["loss"]))
+
     def test_joint_mine_training(self):
         model, state, step, batch, _ = self._setup()
         key = jax.random.PRNGKey(4)
@@ -230,3 +252,4 @@ class TestDataParallel:
     def test_schedule_interp(self):
         f = interp_schedule([[0, 0.0], [10, 1.0]])
         assert abs(float(f(5)) - 0.5) < 1e-6
+
