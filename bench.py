@@ -141,7 +141,7 @@ def main():
                                      stop_enabled=False)
         return out["mel"]
 
-    def _best_of(fn, n=4):
+    def _best_of(fn, n=6):
         """min over n timed runs: the remote-TPU tunnel adds multi-ms jitter;
         the minimum is the honest device latency."""
         best = float("inf")
@@ -224,7 +224,7 @@ def main():
         return dt, first.shape[0] / SR
 
     first_audio_sec()  # compile
-    fa, chunk_audio = min((first_audio_sec() for _ in range(3)),
+    fa, chunk_audio = min((first_audio_sec() for _ in range(5)),
                           key=lambda t: t[0])
 
     # --- training-step throughput + MFU, fp32 vs bf16 mixed precision -------
