@@ -1,0 +1,57 @@
+"""Direct coverage for the small aux utilities: decorators (failure
+containment + timing) and infolog (file logger, webhook best-effort)."""
+import os
+
+from etts.utils.decorators import ignore_exception, time_it
+from etts.utils import infolog
+
+
+class TestDecorators:
+    def test_ignore_exception_swallows_and_returns_none(self, capsys):
+        @ignore_exception
+        def boom():
+            raise ValueError("nope")
+
+        assert boom() is None
+        assert "Catched exception in boom" in capsys.readouterr().out
+
+    def test_ignore_exception_passthrough(self):
+        @ignore_exception
+        def ok(a, b=1):
+            return a + b
+
+        assert ok(2, b=3) == 5
+
+    def test_time_it_returns_result_and_elapsed(self):
+        @time_it
+        def work(x):
+            return x * 2
+
+        result, elapsed = work(21)
+        assert result == 42
+        assert elapsed >= 0.0
+
+
+class TestInfolog:
+    def test_file_logging_roundtrip(self, tmp_path, capsys):
+        path = tmp_path / "train.log"
+        infolog.init(str(path), "sess")
+        infolog.log("hello from the run")
+        infolog._close_logfile()
+        text = path.read_text()
+        assert "Starting new training run" in text
+        assert "hello from the run" in text
+        assert "hello from the run" in capsys.readouterr().out
+
+    def test_slack_flag_without_url_is_noop(self, tmp_path):
+        path = tmp_path / "train2.log"
+        infolog.init(str(path), "sess2", slack_url=None)
+        infolog.log("alert!", slack=True)  # must not raise offline
+        infolog._close_logfile()
+        assert "alert!" in path.read_text()
+
+    def test_send_slack_never_raises(self):
+        # webhook is best-effort: a bogus URL must be swallowed
+        infolog._slack_url = "http://127.0.0.1:9/unreachable"
+        infolog._run_name = "x"
+        infolog._send_slack("msg")  # no exception
