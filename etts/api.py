@@ -65,6 +65,10 @@ class TTSSynthesizer:
         m = self.model
         return (jax.default_backend() == "tpu"
                 and m.decoder_model_dimension >= 128
+                # the kernel packs the mel frame into one 128-wide lane
+                # (build_decode_inputs pads mel -> LANE); wider mels must
+                # fall back to the while_loop decoder, not crash in jnp.pad
+                and m.mel_channels <= 128
                 and m.decoder_dense_blocks == len(m.decoder_num_heads)
                 and len(set(m.decoder_num_heads)) == 1)
 

@@ -8,11 +8,11 @@ its C-extension dependencies (pysptk/pyworld/pystoi/pesq are not available):
     standing in for pyworld harvest
   - STOI implemented from the Taal et al. 2011 definition (1/3-octave bands,
     384 ms segments, clipped correlation) — same metric pystoi computes
-  - PESQ: `pesq_score` uses the optional `pesq` package (true ITU-T P.862)
-    when installed; otherwise `pesq_proxy`, a pure-numpy PESQ-structured
-    perceptual score (bark loudness, masked symmetric + asymmetric
-    disturbance -> MOS scale) — clearly documented as NOT interchangeable
-    with true P.862 values.
+  - PESQ: `pesq_score` is the true ITU-T P.862 score via the optional `pesq`
+    package, or None when unavailable; `pesq_proxy` is a pure-numpy
+    PESQ-structured perceptual score (bark loudness, masked symmetric +
+    asymmetric disturbance -> MOS scale) always reported under the distinct
+    PESQ_proxy key — NOT interchangeable with true P.862 values.
 All comparisons are DTW-aligned first, as in the reference (:34-98).
 """
 from __future__ import annotations
@@ -290,13 +290,14 @@ def pesq_proxy(ref_wav, syn_wav, sr=16000):
 
 
 def pesq_score(ref_wav, syn_wav, sr=16000):
-    """PESQ: the real ITU P.862 score via the optional `pesq` package when
-    installed, else the pure-numpy `pesq_proxy` (clearly not interchangeable
-    — see its docstring)."""
+    """True ITU-T P.862 PESQ via the optional `pesq` package, or None when it
+    is not installed. Proxy values are deliberately NOT returned under this
+    name — they are not comparable to P.862 MOS; use `pesq_proxy` (reported
+    as the separate PESQ_proxy metric key) instead."""
     try:
         from pesq import pesq as _pesq
     except ImportError:
-        return pesq_proxy(ref_wav, syn_wav, sr)
+        return None
     from scipy.signal import resample_poly
     x = resample_poly(ref_wav, 16000, sr)
     y = resample_poly(syn_wav, 16000, sr)
@@ -314,5 +315,9 @@ def compute_all_metrics(ref_wav, syn_wav, sr=16000):
         "RMSE_F0": rmse,
         "voiced_overlap": voiced,
         "STOI": stoi(ref_wav, syn_wav, sr),
+        # distinct keys so consumers can always tell which backend produced a
+        # number: PESQ is real P.862 or None; PESQ_proxy is always the
+        # pure-numpy proxy (not comparable to P.862 absolute values)
         "PESQ": pesq_score(ref_wav, syn_wav, sr),
+        "PESQ_proxy": pesq_proxy(ref_wav, syn_wav, sr),
     }

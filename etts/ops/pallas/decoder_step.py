@@ -496,10 +496,12 @@ def fused_decode(model, variables, enc_output, *, max_steps: int,
     ck = (id(model), _round_up(max_steps, 8), r, stop_enabled, interpret,
           str(compute_dtype))
     if ck not in _cache:
-        _cache[ck] = make_fused_decoder(
+        # value holds a strong model ref so a recycled id() can never alias
+        # a stale compiled decoder
+        _cache[ck] = (model, make_fused_decoder(
             model, max_steps=max_steps, r=r, stop_enabled=stop_enabled,
-            interpret=interpret, compute_dtype=compute_dtype)
-    return _cache[ck](variables, enc_output, key, prenet_dropout)
+            interpret=interpret, compute_dtype=compute_dtype))
+    return _cache[ck][1](variables, enc_output, key, prenet_dropout)
 
 
 def _positional_encoding(max_len, d):

@@ -40,20 +40,23 @@ def stream_mel(model: AutoregressiveTransformer, variables, inputs,
     """Yield mel chunks (<= chunk*r frames each) for one utterance (b=1)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    # cache values hold a strong ref to the model so an id() can never be
+    # recycled by a new model object while its compiled program is cached
     init_key = (id(model), "init", r, max_length)
     if init_key not in _decoder_cache:
         # one jitted program for encode + cache build: eager dispatch of the
         # init costs ~1 s of first-audio latency on the TPU tunnel
-        _decoder_cache[init_key] = jax.jit(functools.partial(
-            streaming_decode_init, model, r=r, max_length=max_length))
-    state, enc_pack = _decoder_cache[init_key](
+        _decoder_cache[init_key] = (model, jax.jit(functools.partial(
+            streaming_decode_init, model, r=r, max_length=max_length)))
+    state, enc_pack = _decoder_cache[init_key][1](
         variables, inputs, ref_mel, spk_embed, key=key)
-    cache_key = (id(model), chunk, r, stop_enabled)
+    # prenet_dropout is closed over by make_chunk_decoder -> part of the key
+    cache_key = (id(model), chunk, r, stop_enabled, float(prenet_dropout))
     if cache_key not in _decoder_cache:
-        _decoder_cache[cache_key] = make_chunk_decoder(
+        _decoder_cache[cache_key] = (model, make_chunk_decoder(
             model, chunk=chunk, r=r, prenet_dropout=prenet_dropout,
-            stop_enabled=stop_enabled)
-    dec = _decoder_cache[cache_key]
+            stop_enabled=stop_enabled))
+    dec = _decoder_cache[cache_key][1]
     max_steps = int(max_length) // r + 1
     done_steps = 0
     if not stop_enabled:
@@ -159,6 +162,11 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
         key = jax.random.PRNGKey(0)
     mu_law = mu_law if model.mode == "RAW" else False
     pad = model.pad
+    if chunk_frames < pad:
+        # a smaller chunk would make the left-context slice negative-length
+        # and silently corrupt chunk-boundary conditioning
+        raise ValueError(
+            f"chunk_frames ({chunk_frames}) must be >= model.pad ({pad})")
     d = model.rnn_dims
     state = {"h1": jnp.zeros((1, d)), "h2": jnp.zeros((1, d)),
              "x": jnp.zeros((1, 1)), "key": key}
@@ -168,8 +176,10 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
     use_pallas = use_pallas and pallas_available
     fkey = (id(model), chunk_frames, use_pallas)
     if fkey not in _fn_cache:
-        _fn_cache[fkey] = _jit_vocode_chunk(model, chunk_frames, use_pallas)
-    vocode = _fn_cache[fkey]
+        # strong model ref in the value prevents stale-id cache aliasing
+        _fn_cache[fkey] = (model,
+                           _jit_vocode_chunk(model, chunk_frames, use_pallas))
+    vocode = _fn_cache[fkey][1]
     n_mels = model.feat_dims
     # device-side buffering: a host round-trip per chunk would serialize the
     # pipeline (~30-50 ms each on the TPU tunnel)
@@ -191,22 +201,28 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
             yield wav
             left = pending[chunk_frames - pad:chunk_frames]
             pending = pending[chunk_frames:]
-    # flush: zero right pad (matches the one-shot path's trailing zero pad)
+    # flush: pad the tail up to the interior chunk shape so it reuses the
+    # SAME compiled chunk program (no eager dispatch anywhere in a stream;
+    # last-chunk latency == interior-chunk latency). The appended zero frames
+    # reproduce the one-shot path's trailing zero pad — samples past the real
+    # frame count are trimmed off, and causality + the <= pad conv halo mean
+    # the kept samples are bit-identical to the variable-length eager flush.
     if pending.shape[0] > 0:
-        n = pending.shape[0]
-        ctx = jnp.concatenate([left, pending,
-                               jnp.zeros((pad, n_mels), jnp.float32)])
-        # jit cache key is the frame count; flush sizes vary -> plain call
-        mels_up, aux = model.apply(variables, ctx[None], False,
-                                   method=WaveRNN.upsample_cond)
-        streams, w = _conditioning_streams(model, variables["params"],
-                                           mels_up, aux)
-        wav, _ = _run_sample_loop(model, streams, w, state["key"],
-                                  state=state, return_state=True)
-        wav = wav[0]
-        if mu_law:
-            wav = mu_law_decode(wav, model.n_classes, from_labels=False)
-        yield wav
+        n_total = int(pending.shape[0])
+        hop = model.hop_length
+        emitted = 0
+        while emitted < n_total:
+            short = chunk_frames + pad - int(pending.shape[0])
+            if short > 0:
+                pending = jnp.concatenate(
+                    [pending, jnp.zeros((short, n_mels), jnp.float32)])
+            ctx = jnp.concatenate([left, pending[:chunk_frames + pad]])
+            wav, state = emit(ctx, state)
+            take = min(chunk_frames, n_total - emitted)
+            yield wav[:take * hop]
+            left = pending[chunk_frames - pad:chunk_frames]
+            pending = pending[chunk_frames:]
+            emitted += chunk_frames
 
 
 def stream_synthesize(tts_model, tts_variables, voc_model, voc_variables,

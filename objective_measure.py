@@ -39,7 +39,7 @@ def score_pair(pair, sr):
     except Exception as e:  # bad-file fallback to zeros (:163-166)
         print(f"! failed on {syn_path}: {e}")
         return {"file": Path(syn_path).name, "MCD": 0.0, "FD": 0.0,
-                "RMSE_F0": 0.0, "STOI": 0.0, "PESQ": None,
+                "RMSE_F0": 0.0, "STOI": 0.0, "PESQ": None, "PESQ_proxy": None,
                 "voiced_overlap": 0.0}
 
 
@@ -76,8 +76,8 @@ def main():
                 if len(parts) >= 2:
                     texts[parts[0]] = parts[1]
 
-    metric_keys = ["MCD", "FD", "RMSE_F0", "STOI", "PESQ", "WER_syn",
-                   "WER_ori"]
+    metric_keys = ["MCD", "FD", "RMSE_F0", "STOI", "PESQ", "PESQ_proxy",
+                   "WER_syn", "WER_ori"]
     rows = []
     for syn_dir in args.syn_dirs:
         pairs = find_pairs(args.ref_dir, syn_dir, texts)

@@ -104,10 +104,14 @@ class TestBundle:
         y = _tone(200, dur=1.2)
         out = compute_all_metrics(y, _tone(200, dur=1.2, noise=0.05))
         assert set(out) == {"MCD", "FD", "RMSE_F0", "voiced_overlap", "STOI",
-                            "PESQ"}
+                            "PESQ", "PESQ_proxy"}
         assert out["MCD"] > 0 and np.isfinite(out["MCD"])
-        # real P.862 when installed, else the numpy proxy — a float either way
-        assert isinstance(out["PESQ"], float) and np.isfinite(out["PESQ"])
+        # distinct keys: PESQ is real P.862 or None (package absent here);
+        # PESQ_proxy is always the documented numpy proxy
+        assert out["PESQ"] is None or (isinstance(out["PESQ"], float)
+                                       and np.isfinite(out["PESQ"]))
+        assert isinstance(out["PESQ_proxy"], float)
+        assert np.isfinite(out["PESQ_proxy"])
 
 
 class TestPesqProxy:
@@ -138,9 +142,16 @@ class TestPesqProxy:
         assert scores[0] > scores[1] > scores[2], scores
         assert 1.0 <= min(scores) and max(scores) <= 4.5
 
-    def test_compute_all_metrics_returns_float_pesq(self):
+    def test_compute_all_metrics_proxy_key(self):
         from etts.evalsuite.metrics import compute_all_metrics
         rng = np.random.default_rng(1)
         x = self._clean()
         m = compute_all_metrics(x, x + 0.01 * rng.standard_normal(len(x)))
-        assert isinstance(m["PESQ"], float) and np.isfinite(m["PESQ"])
+        assert isinstance(m["PESQ_proxy"], float)
+        assert np.isfinite(m["PESQ_proxy"])
+        # the PESQ key never silently holds proxy values
+        try:
+            import pesq  # noqa: F401
+            assert isinstance(m["PESQ"], float)
+        except ImportError:
+            assert m["PESQ"] is None
