@@ -108,6 +108,61 @@ def _num_folds(wave_len: int, target: int, overlap: int) -> int:
     return n
 
 
+def _dispatch_floor_sec(n: int = 15) -> float:
+    """Round-trip cost of one null jitted dispatch+sync on this backend.
+
+    The axon TPU tunnel's per-dispatch latency varies ~1000x between windows
+    (measured 0.02 ms .. 25+ ms for the SAME null program). Any wall-clock
+    per-call timing is bounded below by this floor, so the bench (a) reports
+    it as window_health and (b) measures every hot path with `_device_time`,
+    which amortizes ONE round trip over many chained device-side iterations.
+    """
+    null = jax.jit(lambda x: x + 1.0)
+    x = jnp.ones((8, 128))
+    jax.block_until_ready(null(x))
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(null(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _device_time(stage, key, iters: int, n_trials: int = 4) -> float:
+    """Per-call device time of ``stage(key)->pytree``, tunnel-proof.
+
+    Chains calls of the stage inside ONE jitted lax.fori_loop (each with a
+    distinct folded key; a scalar accumulator forces every iteration's full
+    computation) and times the loop at N and 2N iterations: per-call time =
+    (T_2N - T_N) / N. The two-point difference cancels ANY fixed per-call
+    cost — the tunnel's round-trip floor flips between ~0.02 ms and ~27 ms
+    on a minutes timescale (measured), so subtracting a floor sampled once
+    is not safe; the difference of two best-of minima is.
+    """
+    def make(n):
+        def chained(k):
+            def body(i, acc):
+                out = stage(jax.random.fold_in(k, i))
+                leaves = jax.tree_util.tree_leaves(out)
+                return acc + jnp.sum(leaves[0]).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        return jax.jit(chained)
+
+    f1, f2 = make(iters), make(2 * iters)
+    jax.block_until_ready(f1(key))  # compile
+    jax.block_until_ready(f2(key))
+    b1 = b2 = float("inf")
+    for i in range(n_trials):  # interleave so both see the same weather
+        k = jax.random.fold_in(key, 1000 + i)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f1(k))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f2(k))
+        b2 = min(b2, time.perf_counter() - t0)
+    return max(b2 - b1, 1e-9) / iters
+
+
 def main():
     from etts.models.autoregressive import (AutoregressiveTransformer,
                                             autoregressive_predict)
@@ -141,22 +196,16 @@ def main():
                                      stop_enabled=False)
         return out["mel"]
 
-    def _best_of(fn, n=6):
-        """min over n timed runs: the remote-TPU tunnel adds multi-ms jitter;
-        the minimum is the honest device latency."""
-        best = float("inf")
-        for i in range(n):
-            t0 = time.perf_counter()
-            out = fn(i)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # tunnel health: every hot path below is timed with _device_time (chained
+    # device-side iterations), so the headline reflects device truth even
+    # when the tunnel's per-dispatch round trip degrades to tens of ms
+    floor = _dispatch_floor_sec()
+    window_health = "healthy" if floor < 2e-3 else "degraded"
 
     tts_decode_j = jax.jit(tts_decode)
-    mel = tts_decode_j(key)  # compile
+    mel = tts_decode_j(key)  # compile + output for downstream stages
     mel.block_until_ready()
-    tts_while_loop_time = _best_of(
-        lambda i: tts_decode_j(jax.random.fold_in(key, i)))
+    tts_while_loop_time = _device_time(tts_decode, key, iters=4)
     tts_time = tts_while_loop_time
 
     # fused Pallas decode-step megakernel (single-stream serving path)
@@ -166,7 +215,6 @@ def main():
         fused = make_fused_decoder(tts, max_steps=decode_steps,
                                    stop_enabled=False)
 
-        @jax.jit
         def tts_fused(k):
             ekey, dkey = jax.random.split(k)
             enc_out, *_ = tts.apply(
@@ -176,10 +224,22 @@ def main():
             m, length, _ = fused(tts_vars, enc_out, dkey, 0.5)
             return m
 
-        mel_f = tts_fused(key)
+        tts_fused_j = jax.jit(tts_fused)
+        mel_f = tts_fused_j(key)
         mel_f.block_until_ready()
-        tts_time = _best_of(lambda i: tts_fused(jax.random.fold_in(key, i)))
+        tts_time = _device_time(tts_fused, key, iters=8)
         mel = mel_f[:, :decode_steps, :]
+
+        def enc_only(k):
+            ekey, _ = jax.random.split(k)
+            return tts.apply(
+                tts_vars, phonemes, ref_mel, spk, False, False, 0,
+                method=AutoregressiveTransformer.encode,
+                rngs={"dropout": ekey, "prenet": ekey})[0]
+
+        encode_time = _device_time(enc_only, key, iters=16)
+    else:
+        encode_time = 0.0
 
     voc_mel = (mel[0] + 4.0) / 8.0
 
@@ -190,23 +250,19 @@ def main():
     vocode_j = jax.jit(vocode)
     wav = vocode_j(voc_mel, key)
     wav.block_until_ready()
-    voc_time = _best_of(
-        lambda i: vocode_j(voc_mel, jax.random.fold_in(key, 100 + i)))
+    voc_time = _device_time(lambda k: vocode(voc_mel, k), key, iters=4)
 
     # DSP frontend speed (BASELINE config 1: mel extraction + Griffin-Lim)
     from etts.ops.audio import AudioProcessor
     ap = AudioProcessor(dict(sampling_rate=SR, n_fft=2048, hop_length=HOP,
                              win_length=800, mel_channels=MEL_C, f_min=40,
                              f_max=None, normalizer="WaveRNN"))
-    wav5 = jnp.asarray(np.random.default_rng(0).standard_normal(5 * SR),
-                       jnp.float32)
-    m = ap.mel_spectrogram(wav5)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        m = ap.mel_spectrogram(wav5)
-    jax.block_until_ready(m)
-    mel_extract_sec = (time.perf_counter() - t0) / 5
+    wav5_np = np.random.default_rng(0).standard_normal(5 * SR)
+    wav5 = jnp.asarray(wav5_np, jnp.float32)
+    jax.block_until_ready(ap.mel_spectrogram(wav5))
+    mel_extract_sec = _device_time(
+        lambda k: ap.mel_spectrogram(wav5 * jax.random.uniform(k)),
+        key, iters=8)
 
     # --- streamed synthesis: first-audio latency ----------------------------
     from etts.streaming import stream_synthesize
@@ -252,15 +308,34 @@ def main():
         for _ in range(3):
             state, mtr, _ = step(state, batch, jnp.zeros(()), kb, **kwargs)
         jax.block_until_ready(mtr["loss"])
-        # best-of-3 trials of 10 steps: tunnel jitter is multi-ms
-        dt = float("inf")
+
+        # steps chained inside ONE jitted fori_loop (state carried on
+        # device), timed at N and 2N steps: the two-point difference cancels
+        # the tunnel round trip, so per-step time is device truth regardless
+        # of tunnel weather (see _device_time)
+        def make(n):
+            def steps_n(st, k):
+                def body(i, s):
+                    s2, _, _ = step(s, batch, jnp.zeros(()),
+                                    jax.random.fold_in(k, i), **kwargs)
+                    return s2
+                return jax.lax.fori_loop(0, n, body, st)
+            return jax.jit(steps_n)
+
+        N = 8
+        f1, f2 = make(N), make(2 * N)
+        jax.block_until_ready(jax.tree_util.tree_leaves(f1(state, kb))[0])
+        jax.block_until_ready(jax.tree_util.tree_leaves(f2(state, kb))[0])
+        b1 = b2 = float("inf")
         for trial in range(3):
+            k = jax.random.fold_in(kb, trial)
             t0 = time.perf_counter()
-            for i in range(10):
-                state, mtr, _ = step(state, batch, jnp.zeros(()),
-                                     jax.random.fold_in(kb, i), **kwargs)
-            jax.block_until_ready(mtr["loss"])
-            dt = min(dt, (time.perf_counter() - t0) / 10)
+            jax.block_until_ready(jax.tree_util.tree_leaves(f1(state, k))[0])
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.tree_util.tree_leaves(f2(state, k))[0])
+            b2 = min(b2, time.perf_counter() - t0)
+        dt = max(b2 - b1, 1e-9) / N
         flops = _cost_flops(step, state, batch, jnp.zeros(()), kb, **kwargs)
         return dt, _mfu(flops, dt)
 
@@ -283,13 +358,21 @@ def main():
     result = {
         "metric": "rtf_text_to_wav",
         "value": round(rtf, 5),
-        "unit": "wall_sec_per_audio_sec",
+        # device compute time per audio second, measured via chained
+        # device-side iteration loops (one tunnel round trip amortized over
+        # all iterations) — see _device_time; this is what a production host
+        # without the development tunnel pays (plus one ~100 us local
+        # dispatch per request)
+        "unit": "device_sec_per_audio_sec",
         "vs_baseline": round(rtf / 0.1, 4),
         "extras": {
             "tts_sec": round(tts_time, 4),
+            "tts_encode_sec": round(encode_time, 5),
             "tts_while_loop_sec": round(tts_while_loop_time, 4),
             "tts_fused_kernel": on_tpu,
             "vocoder_sec": round(voc_time, 4),
+            "dispatch_floor_ms": round(floor * 1e3, 3),
+            "window_health": window_health,
             "audio_sec": round(audio_sec, 3),
             "wavernn_samples_per_sec": round(wav.shape[0] / voc_time, 1),
             "mel_frames_per_sec": round(mel.shape[1] / tts_time, 1),

@@ -328,6 +328,25 @@ def _finalize_jit(model: WaveRNN, output, batched, overlap, mu_law, wave_len):
     return _finalize(output, batched, overlap, mu_law, model, wave_len)
 
 
+def _live_folds(total_len: int, target: int, overlap: int,
+                num_folds: int) -> int:
+    """Fold count UNBUCKETED folding would produce for ``total_len`` samples.
+
+    Bucketing (`_bucket_len`) pads the mel, so fold_with_overlap emits extra
+    rows that lie wholly past the real waveform; their sequential
+    sample-steps are pure waste, and they matter whenever they push the row
+    count across an 8-row TPU sublane boundary. Slicing the fold rows to
+    this count makes the pruned bucketed path produce EXACTLY the rows (and
+    rng chain) of the unbucketed path, so output below wave_len is identical
+    and bucketing adds zero sample-loop cost. Mirrors fold_with_overlap's
+    count (`fatchord_version.py:272-319`).
+    """
+    n = (total_len - overlap) // (target + overlap)
+    if total_len - (n * (overlap + target) + overlap) != 0:
+        n += 1
+    return max(1, min(int(n), int(num_folds)))
+
+
 def _bucket_len(t: int, lo: int = 32, ratio: float = 2.0) -> int:
     """Round a mel length up to a small geometric bucket set so a serving mix
     of arbitrary lengths hits a BOUNDED number of XLA compiles (the reference
@@ -471,6 +490,15 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         mels = jnp.pad(mels, ((0, 0), (0, t_pad - t_mel), (0, 0)))
     mels_up, aux = _upsample_and_fold(model, variables, mels, target, overlap,
                                       batched)
+    full = mels_up.shape[0]
+    if batched and bucket:
+        # bucketing appends fold rows wholly past wave_len; drop them before
+        # the sequential loop (wave_len is host-known -> static slice). The
+        # live count equals the fold count unbucketed folding would produce,
+        # so bucketing adds ZERO sample-loop waste.
+        live = _live_folds(t_mel * model.hop_length, target,
+                           overlap, full)
+        mels_up, aux = mels_up[:live], aux[:live]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     from ..ops.pallas import pallas_available
@@ -481,6 +509,11 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
         output = _run_sample_loop(model, streams, w, key)
+    if batched and output.shape[0] < full:
+        # restore the bucketed row count for finalize (cheap, elementwise) so
+        # its compile count stays one-per-bucket; zero rows only touch
+        # positions past wave_len, which finalize zeroes anyway
+        output = jnp.pad(output, ((0, full - output.shape[0]), (0, 0)))
     out = _finalize_jit(model, output, batched, overlap, mu_law,
                         jnp.int32(wave_len))
     return out[:wave_len]
@@ -507,7 +540,7 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     if key is None:
         key = jax.random.PRNGKey(0)
     mu_law = mu_law if model.mode == "RAW" else False
-    ups, auxs, counts, wave_lens = [], [], [], []
+    ups, auxs, counts, fulls, wave_lens = [], [], [], [], []
     for mel in mels_list:
         if mel.ndim == 2:
             mel = mel[None]
@@ -517,6 +550,11 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
             mel = jnp.pad(mel, ((0, 0), (0, t_pad - mel.shape[1]), (0, 0)))
         mu, au = _upsample_and_fold(model, variables, mel, target, overlap,
                                     True)
+        fulls.append(mu.shape[0])
+        if bucket:
+            live = _live_folds(wave_lens[-1] + model.hop_length,
+                               target, overlap, mu.shape[0])
+            mu, au = mu[:live], au[:live]
         counts.append(mu.shape[0])
         ups.append(mu)
         auxs.append(au)
@@ -537,9 +575,12 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
                                            mels_up, aux)
         output = _run_sample_loop(model, streams, w, key)
     wavs, ofs = [], 0
-    for count, wave_len in zip(counts, wave_lens):
+    for count, full, wave_len in zip(counts, fulls, wave_lens):
         rows = output[ofs:ofs + count]
         ofs += count
+        if full > count:
+            # pad pruned rows back so finalize keeps one compile per bucket
+            rows = jnp.pad(rows, ((0, full - count), (0, 0)))
         wavs.append(_finalize_jit(model, rows, True, overlap, mu_law,
                                   jnp.int32(wave_len))[:wave_len])
     return wavs
@@ -565,7 +606,7 @@ def generate_batch_sharded(model: WaveRNN, variables, mels_list, *, mesh,
         key = jax.random.PRNGKey(0)
     mu_law = mu_law if model.mode == "RAW" else False
     n_dev = mesh.shape[axis]
-    ups, auxs, counts, wave_lens = [], [], [], []
+    ups, auxs, counts, fulls, wave_lens = [], [], [], [], []
     for mel in mels_list:
         if mel.ndim == 2:
             mel = mel[None]
@@ -574,6 +615,10 @@ def generate_batch_sharded(model: WaveRNN, variables, mels_list, *, mesh,
         mel = jnp.pad(mel, ((0, 0), (0, t_pad - mel.shape[1]), (0, 0)))
         mu, au = _upsample_and_fold(model, variables, mel, target, overlap,
                                     True)
+        fulls.append(mu.shape[0])
+        live = _live_folds(wave_lens[-1] + model.hop_length,
+                           target, overlap, mu.shape[0])
+        mu, au = mu[:live], au[:live]
         counts.append(mu.shape[0])
         ups.append(mu)
         auxs.append(au)
@@ -605,9 +650,12 @@ def generate_batch_sharded(model: WaveRNN, variables, mels_list, *, mesh,
                        out_specs=P(axis), check_vma=False)(
         params, mels_up, aux, key)
     wavs, ofs = [], 0
-    for count, wave_len in zip(counts, wave_lens):
+    for count, full, wave_len in zip(counts, fulls, wave_lens):
         rows = output[ofs:ofs + count]
         ofs += count
+        if full > count:
+            # pad pruned rows back so finalize keeps one compile per bucket
+            rows = jnp.pad(rows, ((0, full - count), (0, 0)))
         wavs.append(_finalize_jit(model, rows, True, overlap, mu_law,
                                   jnp.int32(wave_len))[:wave_len])
     return wavs

@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--port", type=int, required=True)
     parser.add_argument("--process_id", type=int, required=True)
     parser.add_argument("--num_processes", type=int, default=2)
+    parser.add_argument("--ckpt_dir", type=str, default=None,
+                        help="exercise checkpoint save + restore and TB "
+                             "logging discipline across the process group")
     args = parser.parse_args()
 
     import jax
@@ -75,6 +78,37 @@ def main():
     loss = float(metrics["loss"])
     print(f"MULTIHOST_LOSS {loss:.8f}", flush=True)
     assert jnp.isfinite(loss)
+
+    if args.ckpt_dir:
+        # checkpoint + logging discipline across the process group:
+        # EVERY process calls save_state (orbax coordinates; with DP all
+        # saved arrays are host-replicated), only the primary writes TB
+        from etts.utils.checkpoints import CheckpointManager
+        from etts.utils.logging import SummaryManager
+
+        summary = SummaryManager(model, os.path.join(args.ckpt_dir, "logs"),
+                                 {})
+        summary.add_scalar("train/loss", loss, step=1)
+        ckpt = CheckpointManager(args.ckpt_dir, max_to_keep=2)
+        ckpt.save_state(1, state)
+        assert ckpt.latest_step() == 1, ckpt.latest_step()
+        # mid-"run" resume: a FRESH state restored from disk must continue
+        # identically on every process
+        fresh = replicate(TrainState.create(
+            model.init({"params": jax.random.PRNGKey(9), "dropout": key,
+                        "prenet": key}, phon, durs[..., None],
+                       max_frames=20), tx), mesh)
+        restored, rstep = ckpt.restore_state(fresh)
+        assert rstep == 1, rstep
+        import numpy as np
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        restored = replicate(restored, mesh)
+        state2, metrics2 = step(restored, batch, jax.random.fold_in(key, 1))
+        print(f"MULTIHOST_RESUME_LOSS {float(metrics2['loss']):.8f}",
+              flush=True)
+        ckpt.close()
 
 
 if __name__ == "__main__":

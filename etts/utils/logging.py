@@ -42,7 +42,14 @@ class SummaryManager:
         self.max_plot_frequency = max_plot_frequency
         self.default_writer = default_writer
         self.writers = {}
-        self.add_writer(tag=default_writer, path=self.log_dir, default=True)
+        # multihost logging discipline: only the primary process materializes
+        # writers/event files; every add_*/display_* is a no-op elsewhere, so
+        # drivers can log unconditionally without duplicate TB event files
+        import jax
+        self._primary = jax.process_index() == 0
+        if self._primary:
+            self.add_writer(tag=default_writer, path=self.log_dir,
+                            default=True)
         self.audio = None  # lazily built AudioProcessor for display_audio
 
     def add_writer(self, path, tag=None, default=False):
@@ -66,11 +73,15 @@ class SummaryManager:
 
     @ignore_exception
     def add_scalar(self, tag, scalar_value, step=None):
+        if not self._primary:
+            return
         step = self.global_step if step is None else step
         self._get_writer().add_scalar(tag, float(scalar_value), step)
 
     @ignore_exception
     def add_scalars(self, tag, dictionary, step=None):
+        if not self._primary:
+            return
         step = self.global_step if step is None else step
         for k, v in dictionary.items():
             # per-key writers, as the reference's multi-writer scalars
@@ -80,6 +91,8 @@ class SummaryManager:
     @ignore_exception
     def add_image(self, tag, image, step=None):
         """image: 2-D map or (h, w, 3) uint8."""
+        if not self._primary:
+            return
         step = self.global_step if step is None else step
         image = np.asarray(image)
         if image.ndim == 2:
@@ -88,12 +101,16 @@ class SummaryManager:
 
     @ignore_exception
     def add_audio(self, tag, wav, sr, step=None):
+        if not self._primary:
+            return
         step = self.global_step if step is None else step
         wav = np.asarray(wav, np.float32).reshape(-1)
         self._get_writer().add_audio(tag, wav[:, None], step, sample_rate=sr)
 
     @ignore_exception
     def add_histogram(self, tag, values, step=None):
+        if not self._primary:
+            return
         step = self.global_step if step is None else step
         self._get_writer().add_histogram(tag, np.asarray(values), step)
 
@@ -124,6 +141,8 @@ class SummaryManager:
     @ignore_exception
     def display_audio(self, tag, mel, step=None):
         """Griffin-Lim the mel and log playable audio (logging.py:124-131)."""
+        if not self._primary:  # skip the GL compute too, not just the write
+            return
         from ..ops.audio import AudioProcessor
         if self.audio is None:
             self.audio = AudioProcessor(self.config)

@@ -181,7 +181,8 @@ def main():
     max_steps = args.max_steps or config["max_steps"]
     start_step = int(state.step)
 
-    t = tqdm.trange(start_step, max_steps, initial=start_step, total=max_steps)
+    t = tqdm.trange(start_step, max_steps, initial=start_step,
+                    total=max_steps, disable=jax.process_index() != 0)
     for step in t:
         batch = dataset.next_batch()
         r = reduction_schedule(step, config["reduction_factor_schedule"])

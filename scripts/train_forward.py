@@ -74,6 +74,7 @@ def main():
     summary = SummaryManager(model, cm.log_dir, config)
     max_steps = args.max_steps or config["max_steps"]
     t = tqdm.trange(int(state.step), max_steps, initial=int(state.step),
+                    disable=jax.process_index() != 0,
                     total=max_steps)
     for step in t:
         b = dataset.next_batch()

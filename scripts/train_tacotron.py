@@ -104,6 +104,7 @@ def main():
     summary = SummaryManager(model, cm.log_dir, config)
     it = batches()
     t = tqdm.trange(int(state.step), args.max_steps, initial=int(state.step),
+                    disable=jax.process_index() != 0,
                     total=args.max_steps)
     for step in t:
         b = next(it)

@@ -97,6 +97,7 @@ def main():
     gen_every = config.get("voc_checkpoint_every", 25000)
     it = batches()
     t = tqdm.trange(int(state.step), max_steps, initial=int(state.step),
+                    disable=jax.process_index() != 0,
                     total=max_steps)
     for step in t:
         b = next(it)

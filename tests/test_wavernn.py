@@ -216,6 +216,58 @@ class TestServingShapeDiscipline:
             assert np.isfinite(np.asarray(w)).all()
 
 
+class TestFoldPruning:
+    """Dead fold rows (wholly past wave_len, introduced by bucket padding)
+    are dropped BEFORE the sequential sample loop (VERDICT r2 #6)."""
+
+    def test_live_folds_math(self):
+        from etts.models.wavernn import _live_folds, fold_with_overlap
+        # mirrors fold_with_overlap's count for the unbucketed total length
+        assert _live_folds(120, 30, 10, 8) == 3
+        assert _live_folds(50, 30, 10, 8) == 1
+        assert _live_folds(90, 30, 10, 8) == 2
+        assert _live_folds(5, 30, 10, 8) == 1      # never zero rows
+        assert _live_folds(10**9, 30, 10, 8) == 8  # capped at available
+        # exhaustive parity with the folding op itself
+        for total in range(41, 600, 3):
+            x = jnp.zeros((1, total, 2))
+            want = fold_with_overlap(x, 30, 10).shape[0]
+            assert _live_folds(total, 30, 10, 10**9) == want, total
+
+    def test_pruned_rows_enter_sample_loop(self, monkeypatch):
+        import etts.models.wavernn as wr
+        model, variables, _, _ = _init("MOL")
+        seen = {}
+        orig = wr._run_sample_loop
+
+        def spy(model, streams, w, key, **kw):
+            seen["rows"] = streams["i"].shape[0]
+            return orig(model, streams, w, key, **kw)
+
+        monkeypatch.setattr(wr, "_run_sample_loop", spy)
+        mel = jax.random.normal(jax.random.PRNGKey(3), (12, 8)) * 0.3
+        # bucket pads 12 -> 32 frames (320 samples): 8 folds at 30/10, but
+        # only ceil(110/40)=3 intersect the real 110-sample waveform
+        generate(model, variables, mel, batched=True, target=30, overlap=10,
+                 key=jax.random.PRNGKey(0), bucket=True, use_pallas=False)
+        assert seen["rows"] == 3
+
+    @pytest.mark.parametrize("t_mel", [12, 17, 23])
+    def test_bucketed_batched_output_equals_unbucketed(self, t_mel):
+        # pruning restores the unbucketed fold count for EVERY length, so
+        # the rng chains line up and outputs must match exactly
+        model, variables, _, _ = _init("MOL")
+        mel = jax.random.normal(jax.random.PRNGKey(3), (t_mel, 8)) * 0.3
+        k = jax.random.PRNGKey(0)
+        plain = generate(model, variables, mel, batched=True, target=30,
+                         overlap=10, key=k, bucket=False, use_pallas=False)
+        pruned = generate(model, variables, mel, batched=True, target=30,
+                          overlap=10, key=k, bucket=True, use_pallas=False)
+        assert plain.shape == pruned.shape == ((t_mel - 1) * 10,)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(pruned),
+                                   atol=1e-6)
+
+
 class TestShardedVocoding:
     """Fold-parallel vocoding across chips (SURVEY §2.5): rows shard over an
     8-device mesh, each device runs its own sequential sample loop."""
