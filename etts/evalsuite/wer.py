@@ -81,9 +81,12 @@ def transcribe(wav_path: str):
 
     Backends, in order: (1) the reference's Google recognizer via the
     optional SpeechRecognition package (needs network); (2) offline
-    wav2vec2-CTC when its weights are in the local HF cache. Returns None
-    when neither is available — the CSV then carries an empty WER column,
-    documented in PARITY.md (this image has no ASR weights and no egress)."""
+    wav2vec2-CTC when its weights are in the local HF cache; (3) the repo's
+    own tiny char-CTC transcriber when a checkpoint is registered
+    (``ETTS_CTC_ASR=<ckpt.npz>`` or ``ctc_asr.set_default_model`` — train one
+    offline with ``scripts/train_ctc_asr.py``; smoke-level, see its module
+    docstring). Returns None when none is available — the CSV then carries
+    an empty WER column, documented in PARITY.md."""
     try:
         import speech_recognition as sr
         r = sr.Recognizer()
@@ -95,6 +98,16 @@ def transcribe(wav_path: str):
     try:
         from ..data.audio_io import load_wav
         wav, sr_hz = load_wav(wav_path)
-        return _transcribe_wav2vec2(wav, sr_hz)
     except Exception:  # noqa: BLE001
         return None
+    out = _transcribe_wav2vec2(wav, sr_hz)
+    if out is not None:
+        return out
+    try:
+        from .ctc_asr import default_transcriber
+        tr = default_transcriber()
+        if tr is not None:
+            return tr.transcribe_wav(wav, sr_hz)
+    except Exception:  # noqa: BLE001
+        pass
+    return None

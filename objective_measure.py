@@ -17,6 +17,12 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("ETTS_FORCE_CPU"):
+    # metric workers never need the TPU; keep them off the (possibly
+    # congested) device tunnel — must run before first jax device use
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 

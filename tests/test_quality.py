@@ -43,22 +43,27 @@ def _metrics(ref_wav, syn_wav):
     return mcd_db, stoi(ref_wav, syn_wav, SR)
 
 
-def test_trained_tts_beats_degenerate_baselines(corpus):
+@pytest.fixture(scope="module")
+def baselines(corpus):
+    """Griffin-Lim-from-GT-mel oracle and white-noise floor."""
     wav_gt, mel_gt, ap = corpus
-    t_mel = mel_gt.shape[0]
-
-    # --- upper bound: Griffin-Lim straight from the GT mel ---
     wav_oracle = np.asarray(ap.reconstruct_waveform(
         jnp.asarray((mel_gt * 2.0).T), n_iter=32))
     mcd_oracle, stoi_oracle = _metrics(wav_gt, wav_oracle)
-
-    # --- degenerate baselines ---
     rng = np.random.default_rng(1)
     wav_noise = rng.standard_normal(len(wav_gt)).astype(np.float32) * 0.3
     mcd_noise, stoi_noise = _metrics(wav_gt, wav_noise)
     assert mcd_oracle < 0.7 * mcd_noise  # the metric suite discriminates
+    return dict(mcd_oracle=mcd_oracle, stoi_oracle=stoi_oracle,
+                mcd_noise=mcd_noise, stoi_noise=stoi_noise)
 
-    # --- train tiny AR to convergence on (text -> mel) ---
+
+@pytest.fixture(scope="module")
+def trained(corpus):
+    """Tiny AR model trained to convergence on the melody (shared by the
+    teacher-forced AND free-running quality tests)."""
+    wav_gt, mel_gt, ap = corpus
+    t_mel = mel_gt.shape[0]
     model = AutoregressiveTransformer(
         system_type="text", max_r=2,
         encoder_model_dimension=32, decoder_model_dimension=32,
@@ -89,12 +94,20 @@ def test_trained_tts_beats_degenerate_baselines(corpus):
         state, m, _ = step(state, batch, jnp.zeros(()),
                            jax.random.fold_in(key, i), r=r,
                            prenet_dropout=0.0, drop_n_heads=0)
-    final_mel_loss = float(m["losses"]["output"])
+    return dict(model=model, state=state, phon=phon, mel_b=mel_b, stop=stop,
+                r=r, t_mel=t_mel, final_mel_loss=float(m["losses"]["output"]))
+
+
+def test_trained_tts_beats_degenerate_baselines(corpus, baselines, trained):
+    wav_gt, mel_gt, ap = corpus
+    model, state, phon = trained["model"], trained["state"], trained["phon"]
+    r, t_mel = trained["r"], trained["t_mel"]
 
     # --- teacher-forced synthesis through the trained model (prenet dropout
     # off: the val step's always-on 0.5 is the reference's inference jitter,
     # not wanted when scoring the learned mapping itself) ---
-    tar_real, tar_mel, _, _ = model.input_reshape(mel_b, stop, r)
+    tar_real, tar_mel, _, _ = model.input_reshape(trained["mel_b"],
+                                                  trained["stop"], r)
     out = model.apply(state.variables(), phon, tar_mel, None,
                       False, False, False, r=r, prenet_dropout=0.0,
                       rngs={"dropout": jax.random.PRNGKey(1),
@@ -107,6 +120,36 @@ def test_trained_tts_beats_degenerate_baselines(corpus):
     # trained synthesis must be far closer to GT than noise, and within
     # striking distance of the GL-from-GT-mel oracle (measured ~32 dB vs
     # oracle 25 dB vs noise 113 dB)
-    assert mcd_syn < 0.45 * mcd_noise, (mcd_syn, mcd_noise)
-    assert stoi_syn > stoi_noise + 0.05, (stoi_syn, stoi_noise)
-    assert mcd_syn < mcd_oracle * 1.6, (mcd_syn, mcd_oracle, final_mel_loss)
+    assert mcd_syn < 0.45 * baselines["mcd_noise"], (mcd_syn, baselines)
+    assert stoi_syn > baselines["stoi_noise"] + 0.05, (stoi_syn, baselines)
+    assert mcd_syn < baselines["mcd_oracle"] * 1.6, \
+        (mcd_syn, baselines, trained["final_mel_loss"])
+
+
+def test_free_running_decode_quality_and_stop(corpus, baselines, trained):
+    """VERDICT r2 #4: score the FREE-RUNNING predict path (feedback loop +
+    stop head) — a stop-head or feedback regression that garbles
+    free-running output must fail here, not just shape checks."""
+    from etts.models.autoregressive import autoregressive_predict
+    wav_gt, mel_gt, ap = corpus
+    model, state, phon = trained["model"], trained["state"], trained["phon"]
+    r, t_mel = trained["r"], trained["t_mel"]
+
+    out = autoregressive_predict(
+        model, state.variables(), phon, None, None, r=r,
+        max_length=2 * t_mel, key=jax.random.PRNGKey(2),
+        prenet_dropout=0.0, stop_enabled=True)
+    length = int(np.asarray(out["mel_lengths"])[0])
+    # stop-length sanity band: the stop head must fire near the true length,
+    # neither immediately nor never (2*t_mel is the hard cap)
+    assert 0.6 * t_mel <= length <= 1.5 * t_mel, (length, t_mel)
+
+    mel_free = np.asarray(out["mel"][0])[:length]
+    wav_free = np.asarray(ap.reconstruct_waveform(
+        jnp.asarray((mel_free * 2.0).T), n_iter=32))
+    mcd_free, stoi_free = _metrics(wav_gt, wav_free)
+    # free-running drifts more than teacher forcing, but must stay far from
+    # the noise floor and in the oracle's neighborhood
+    assert mcd_free < 0.6 * baselines["mcd_noise"], (mcd_free, baselines)
+    assert stoi_free > baselines["stoi_noise"] + 0.05, (stoi_free, baselines)
+    assert mcd_free < baselines["mcd_oracle"] * 2.5, (mcd_free, baselines)
