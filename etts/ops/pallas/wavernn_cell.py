@@ -208,15 +208,19 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
     nr_mix = wf3.shape[1] // 3 if mode == "MOL" else 0
     n_out = _round_up(max(wf3.shape[1], 8), LANE)
 
+    # stream dtype: bf16 normally; full f32 when verifying with f32 weights
+    # (the --verify feedback phase needs an f32-everywhere kernel to compare
+    # against an f32 scan without cast-induced divergence)
+    stream_dt = jnp.float32 if weight_dtype == jnp.float32 else jnp.bfloat16
     # auto-size the stream chunk against the VMEM budget (2 pipeline buffers)
-    stream_bytes_per_step = B * C * 2  # bf16
+    stream_bytes_per_step = B * C * jnp.dtype(stream_dt).itemsize
     budget = 5 * 1024 * 1024
     max_chunk = max(8, (budget // (2 * stream_bytes_per_step)) // 8 * 8)
     chunk = min(chunk, max_chunk)
     chunk = max(8, (chunk // 8) * 8)  # Mosaic: block sublane dim % 8 == 0
 
     T_pad = _round_up(T, chunk)
-    cond = jnp.pad(cond, ((0, T_pad - T), (0, 0), (0, 0))).astype(jnp.bfloat16)
+    cond = jnp.pad(cond, ((0, T_pad - T), (0, 0), (0, 0))).astype(stream_dt)
     wf3_p = jnp.pad(wf3, ((0, 0), (0, n_out - wf3.shape[1])))
     bf3_p = jnp.pad(bf3.reshape(1, -1), ((0, 0), (0, n_out - wf3.shape[1])),
                     constant_values=-1e9 if mode != "MOL" else 0.0)
