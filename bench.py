@@ -251,7 +251,25 @@ def main():
     vocode_j = jax.jit(vocode)
     wav = vocode_j(voc_mel, key)
     wav.block_until_ready()
-    voc_time = _device_time(lambda k: vocode(voc_mel, k), key, iters=4)
+    voc_time_bf16 = _device_time(lambda k: vocode(voc_mel, k), key, iters=4)
+    voc_time = voc_time_bf16
+    voc_int8 = False
+    voc_time_int8 = None
+    if on_tpu:
+        # int8 kernel weights (per-column scales, f32 accumulate): halves
+        # the VMEM weight stream that floors the per-step time; gated by the
+        # --verify int8 parity/quality phase
+        def vocode_i8(m, k):
+            return generate(voc, voc_vars, m[None], batched=True,
+                            target=11000, overlap=550, mu_law=False, key=k,
+                            int8_weights=True)
+
+        jax.block_until_ready(jax.jit(vocode_i8)(voc_mel, key))
+        voc_time_int8 = _device_time(lambda k: vocode_i8(voc_mel, k), key,
+                                     iters=4)
+        if voc_time_int8 < voc_time_bf16:
+            voc_time = voc_time_int8
+            voc_int8 = True
 
     # DSP frontend speed (BASELINE config 1: mel extraction + Griffin-Lim)
     from etts.ops.audio import AudioProcessor
@@ -372,6 +390,10 @@ def main():
             "tts_while_loop_sec": round(tts_while_loop_time, 4),
             "tts_fused_kernel": on_tpu,
             "vocoder_sec": round(voc_time, 4),
+            "vocoder_bf16_sec": round(voc_time_bf16, 4),
+            "vocoder_int8_sec": (round(voc_time_int8, 4)
+                                 if voc_time_int8 else None),
+            "vocoder_int8": voc_int8,
             "dispatch_floor_ms": round(floor * 1e3, 3),
             "window_health": window_health,
             "audio_sec": round(audio_sec, 3),
@@ -509,6 +531,24 @@ def verify():
         # same-seed determinism (covers the sample-feedback path end to end)
         assert np.array_equal(got, run_kernel(3)), "kernel nondeterministic"
 
+        # int8-weight parity/quality gate (VERDICT r2 #2): per-column
+        # symmetric quantization shifts borderline argmax decisions, so the
+        # bar is high agreement, not equality; a broken quantization path
+        # collapses to ~1/512
+        got8 = np.asarray(wavernn_sample_loop(
+            cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"],
+            w["bh1"], w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+            w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"],
+            w["bf2"], w["wf3"], w["bf3"], 3, feat=FEAT, adim=ADIM,
+            mode="RAW", n_classes=n_classes, interpret=interpret,
+            weight_dtype="int8"))
+        agree8 = float(np.mean(got8 == want))
+        val_err8 = float(np.mean(np.abs(got8 - want)))
+        results[f"int8_agreement_B{B}"] = round(agree8, 5)
+        results[f"int8_value_err_B{B}"] = round(val_err8, 5)
+        assert agree8 > 0.85, f"B={B}: int8/scan agreement {agree8}"
+        assert val_err8 < 0.05, f"B={B}: int8 value error {val_err8}"
+
         # MoL concentrated-means: all samples must land on the forced mean
         w["wf3"] = jnp.zeros((FC, 30))
         bf3 = np.zeros(30, np.float32)
@@ -524,6 +564,15 @@ def verify():
         err = float(np.abs(got - 0.5).max())
         results[f"mol_mean_err_B{B}"] = round(err, 5)
         assert err < 0.02, f"B={B}: MoL mean error {err}"
+        got8 = np.asarray(wavernn_sample_loop(
+            cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+            w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"], w["bf2"],
+            w["wf3"], w["bf3"], 5, feat=FEAT, adim=ADIM, mode="MOL",
+            interpret=interpret, weight_dtype="int8"))
+        err8 = float(np.abs(got8 - 0.5).max())
+        results[f"mol_int8_mean_err_B{B}"] = round(err8, 5)
+        assert err8 < 0.03, f"B={B}: int8 MoL mean error {err8}"
 
     # ---- feedback-path phase (VERDICT r2 #8): NONZERO sample-feedback at
     # production shape, f32 weights in the kernel vs an f32 scan. Exact

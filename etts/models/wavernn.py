@@ -386,8 +386,13 @@ def _conditioning_streams(model: WaveRNN, params, mels_up, aux):
     return streams, weights
 
 
-def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key):
-    """Fused-kernel path: stream RAW conditioning, project in-kernel."""
+def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key,
+                     weight_dtype=None):
+    """Fused-kernel path: stream RAW conditioning, project in-kernel.
+
+    ``weight_dtype="int8"`` streams per-column-quantized int8 weights through
+    the MXU (f32 accumulation via per-column scales): ~half the VMEM weight
+    traffic, which is the row-count-independent floor of the step time."""
     from ..ops.pallas import wavernn_sample_loop
     d = model.rnn_dims
     r1 = {k: params[f"rnn1_{k}"] for k in ("wi", "wh", "bi", "bh")}
@@ -397,13 +402,14 @@ def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key):
     Wf3, bf3 = params["fc3"]["kernel"], params["fc3"]["bias"]
     cond = jnp.swapaxes(jnp.concatenate([mels_up, aux], -1), 0, 1)  # (T,B,C)
     seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+    kw = {} if weight_dtype is None else {"weight_dtype": weight_dtype}
     samples_tb = wavernn_sample_loop(
         cond, params["I"]["kernel"], params["I"]["bias"],
         r1["wi"], r1["wh"], r1["bi"], r1["bh"],
         r2["wi"][:d], r2["wi"][d:], r2["wh"], r2["bi"], r2["bh"],
         Wf1[:d], Wf1[d:], bf1, Wf2[:model.fc_dims], Wf2[model.fc_dims:], bf2,
         Wf3, bf3, seed, feat=model.feat_dims, adim=model.aux_dims,
-        mode=model.mode, n_classes=model.n_classes)
+        mode=model.mode, n_classes=model.n_classes, **kw)
     return jnp.swapaxes(samples_tb, 0, 1)
 
 
@@ -466,7 +472,7 @@ def _run_sample_loop(model: WaveRNN, streams, w, key, use_pallas=False,
 def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
              target: int = 11000, overlap: int = 550, mu_law: bool = True,
              key=None, use_pallas: bool | None = None,
-             bucket: bool = False):
+             bucket: bool = False, int8_weights: bool = False):
     """Full generation path (fatchord_version.py:150-243): upsample -> fold ->
     sequential sample loop -> unfold -> mu-law decode -> 20-hop fade-out.
 
@@ -504,7 +510,9 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
     from ..ops.pallas import pallas_available
     if use_pallas and pallas_available:
         output = _run_pallas_loop(model, variables["params"], mels_up, aux,
-                                  key)
+                                  key,
+                                  weight_dtype="int8" if int8_weights
+                                  else None)
     else:
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
@@ -522,7 +530,8 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
 def generate_batch(model: WaveRNN, variables, mels_list, *,
                    target: int = 11000, overlap: int = 550,
                    mu_law: bool = True, key=None,
-                   use_pallas: bool | None = None, bucket: bool = True):
+                   use_pallas: bool | None = None, bucket: bool = True,
+                   int8_weights: bool = False):
     """Vocode MANY utterances in one sample loop (serving throughput).
 
     Each utterance is folded independently (fold rows all share the same
@@ -569,7 +578,9 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     from ..ops.pallas import pallas_available
     if use_pallas and pallas_available:
         output = _run_pallas_loop(model, variables["params"], mels_up, aux,
-                                  key)
+                                  key,
+                                  weight_dtype="int8" if int8_weights
+                                  else None)
     else:
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)

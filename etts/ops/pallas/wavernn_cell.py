@@ -53,7 +53,7 @@ def _uniform_from_bits(bits):
 
 
 def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
-                 log_scale_min, T_real):
+                 log_scale_min, T_real, quant=False):
     def kernel(seed_ref,            # SMEM (1,)
                cond_ref,            # VMEM block (chunk, B, feat + 4*adim)
                ix_ref, wic_ref, bi_ref,          # I: x row, cond kernel, bias
@@ -63,9 +63,33 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
                wf2x_ref, wf2a_ref, bf2_ref,
                wf3_ref, bf3_ref, clsv_ref,
                h10_ref, h20_ref, x0_ref,         # initial state (streaming)
-               out_ref,             # VMEM (chunk, B)
-               h1o_ref, h2o_ref, xo_ref,         # final state out
-               h1_ref, h2_ref, x_ref):
+               *rest):
+        if quant:
+            # 11 per-column scale rows follow the state inputs (int8 mode)
+            (s_wic_ref, s_wi1_ref, s_wh1_ref, s_w2x_ref, s_w2a_ref,
+             s_wh2_ref, s_wf1x_ref, s_wf1a_ref, s_wf2x_ref, s_wf2a_ref,
+             s_wf3_ref, out_ref, h1o_ref, h2o_ref, xo_ref,
+             h1_ref, h2_ref, x_ref) = rest
+        else:
+            (out_ref, h1o_ref, h2o_ref, xo_ref,
+             h1_ref, h2_ref, x_ref) = rest
+            s_wic_ref = s_wi1_ref = s_wh1_ref = s_w2x_ref = s_w2a_ref = None
+            s_wh2_ref = s_wf1x_ref = s_wf1a_ref = s_wf2x_ref = None
+            s_wf2a_ref = s_wf3_ref = None
+
+        def wdot(act, w_ref, s_ref):
+            """act @ weights with optional int8 weights (per-column scales).
+
+            int8 path: the VMEM read streams HALF the bytes of bf16 — the
+            row-count-independent floor of the step time — and the i8->bf16
+            convert rides the VPU while the MXU runs."""
+            if quant:
+                out = jnp.dot(act, w_ref[:].astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+                return out * s_ref[0]
+            return jnp.dot(act, w_ref[:],
+                           preferred_element_type=jnp.float32)
+
         ci = pl.program_id(0)
         n_chunks = pl.num_programs(0)
 
@@ -85,35 +109,29 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
             return 0
 
         def step(t, _):
-            wdt = wi1_ref.dtype
+            wdt = jnp.bfloat16 if quant else wi1_ref.dtype
             cond = cond_ref[t].astype(wdt)  # (B, feat+4*adim)
             mel_a1 = cond[:, :feat + adim]
             a2 = cond[:, feat + adim:feat + 2 * adim]
             a3 = cond[:, feat + 2 * adim:feat + 3 * adim]
             a4 = cond[:, feat + 3 * adim:feat + 4 * adim]
             x_prev = x_ref[:, :1]
-            inp = (jnp.dot(mel_a1, wic_ref[:],
-                           preferred_element_type=jnp.float32)
+            inp = (wdot(mel_a1, wic_ref, s_wic_ref)
                    + bi_ref[0] + x_prev * ix_ref[0][None, :])
             h1 = h1_ref[:]
-            gi1 = jnp.dot(inp.astype(wdt), wi1_ref[:],
-                          preferred_element_type=jnp.float32) + bi1_ref[0]
-            gh1 = jnp.dot(h1.astype(wdt), wh1_ref[:],
-                          preferred_element_type=jnp.float32) + bh1_ref[0]
+            gi1 = wdot(inp.astype(wdt), wi1_ref, s_wi1_ref) + bi1_ref[0]
+            gh1 = wdot(h1.astype(wdt), wh1_ref, s_wh1_ref) + bh1_ref[0]
             r = jax.nn.sigmoid(gi1[:, :d] + gh1[:, :d])
             z = jax.nn.sigmoid(gi1[:, d:2 * d] + gh1[:, d:2 * d])
             n = jnp.tanh(gi1[:, 2 * d:] + r * gh1[:, 2 * d:])
             h1 = (1.0 - z) * n + z * h1
             h1_ref[:] = h1
             x = inp + h1
-            gi2 = (jnp.dot(x.astype(wdt), w2x_ref[:],
-                           preferred_element_type=jnp.float32)
-                   + jnp.dot(a2, w2a_ref[:],
-                             preferred_element_type=jnp.float32)
+            gi2 = (wdot(x.astype(wdt), w2x_ref, s_w2x_ref)
+                   + wdot(a2, w2a_ref, s_w2a_ref)
                    + bi2_ref[0])
             h2 = h2_ref[:]
-            gh2 = jnp.dot(h2.astype(wdt), wh2_ref[:],
-                          preferred_element_type=jnp.float32) + bh2_ref[0]
+            gh2 = wdot(h2.astype(wdt), wh2_ref, s_wh2_ref) + bh2_ref[0]
             r = jax.nn.sigmoid(gi2[:, :d] + gh2[:, :d])
             z = jax.nn.sigmoid(gi2[:, d:2 * d] + gh2[:, d:2 * d])
             n = jnp.tanh(gi2[:, 2 * d:] + r * gh2[:, 2 * d:])
@@ -121,19 +139,14 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
             h2_ref[:] = h2
             x = x + h2
             y = jnp.maximum(
-                jnp.dot(x.astype(wdt), wf1x_ref[:],
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(a3, wf1a_ref[:],
-                          preferred_element_type=jnp.float32)
+                wdot(x.astype(wdt), wf1x_ref, s_wf1x_ref)
+                + wdot(a3, wf1a_ref, s_wf1a_ref)
                 + bf1_ref[0], 0.0)
             y = jnp.maximum(
-                jnp.dot(y.astype(wdt), wf2x_ref[:],
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(a4, wf2a_ref[:],
-                          preferred_element_type=jnp.float32)
+                wdot(y.astype(wdt), wf2x_ref, s_wf2x_ref)
+                + wdot(a4, wf2a_ref, s_wf2a_ref)
                 + bf2_ref[0], 0.0)
-            logits = jnp.dot(y.astype(wdt), wf3_ref[:],
-                             preferred_element_type=jnp.float32) + bf3_ref[0]
+            logits = wdot(y.astype(wdt), wf3_ref, s_wf3_ref) + bf3_ref[0]
             # ---- sampling ----
             bits = pltpu.prng_random_bits((B, n_out))
             u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
@@ -207,6 +220,7 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
     fc = wf1x.shape[1]
     nr_mix = wf3.shape[1] // 3 if mode == "MOL" else 0
     n_out = _round_up(max(wf3.shape[1], 8), LANE)
+    quant = weight_dtype in ("int8", jnp.int8)
 
     # stream dtype: bf16 normally; full f32 when verifying with f32 weights
     # (the --verify feedback phase needs an f32-everywhere kernel to compare
@@ -230,37 +244,83 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
                 / max(n_classes - 1.0, 1.0) - 1.0).reshape(1, n_out)
 
     kernel = _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix,
-                          n_classes, log_scale_min, T_real=T)
+                          n_classes, log_scale_min, T_real=T, quant=quant)
     if state is None:
         state = {"h1": jnp.zeros((B, d), jnp.float32),
                  "h2": jnp.zeros((B, d), jnp.float32),
                  "x": jnp.zeros((B, LANE), jnp.float32)}
     wspec = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-    wdt = weight_dtype
     f32 = jnp.float32
+
+    def prep(w):
+        """Weight prep: plain cast, or in-jit per-column symmetric int8
+        quantization (returns (int8 weights, (1, cols) f32 inverse scales);
+        one cheap pass over the weights per call, amortized across the whole
+        sample loop)."""
+        if not quant:
+            return w.astype(weight_dtype), None
+        s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        return q, s.astype(f32)
+
+    wic_q, s_wic = prep(W_I[1:])
+    wi1_q, s_wi1 = prep(wi1)
+    wh1_q, s_wh1 = prep(wh1)
+    w2x_q, s_w2x = prep(w2x)
+    w2a_q, s_w2a = prep(w2a)
+    wh2_q, s_wh2 = prep(wh2)
+    wf1x_q, s_wf1x = prep(wf1x)
+    wf1a_q, s_wf1a = prep(wf1a)
+    wf2x_q, s_wf2x = prep(wf2x)
+    wf2a_q, s_wf2a = prep(wf2a)
+    wf3_q, s_wf3 = prep(wf3_p)
 
     sspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
+        pl.BlockSpec((chunk, B, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),             # cond stream
+        wspec((1, d)), wspec((feat + adim, d)), wspec((1, d)),   # I
+        wspec((d, 3 * d)), wspec((d, 3 * d)),              # wi1, wh1
+        wspec((1, 3 * d)), wspec((1, 3 * d)),              # bi1, bh1
+        wspec((d, 3 * d)), wspec((adim, 3 * d)),           # w2x, w2a
+        wspec((d, 3 * d)),                                 # wh2
+        wspec((1, 3 * d)), wspec((1, 3 * d)),              # bi2, bh2
+        wspec((d, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc1
+        wspec((fc, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc2
+        wspec((fc, n_out)), wspec((1, n_out)),             # fc3
+        wspec((1, n_out)),                                 # class values
+        sspec((B, d)), sspec((B, d)), sspec((B, LANE)),    # state in
+    ]
+    operands = [
+        jnp.asarray([seed], jnp.int32),
+        cond,
+        W_I[:1].astype(f32), wic_q, b_I.reshape(1, -1).astype(f32),
+        wi1_q, wh1_q,
+        bi1.reshape(1, -1).astype(f32), bh1.reshape(1, -1).astype(f32),
+        w2x_q, w2a_q, wh2_q,
+        bi2.reshape(1, -1).astype(f32), bh2.reshape(1, -1).astype(f32),
+        wf1x_q, wf1a_q, bf1.reshape(1, -1).astype(f32),
+        wf2x_q, wf2a_q, bf2.reshape(1, -1).astype(f32),
+        wf3_q, bf3_p.astype(f32), cls_vals,
+        state["h1"].astype(f32), state["h2"].astype(f32),
+        state["x"].astype(f32),
+    ]
+    if quant:
+        in_specs += [wspec((1, d)), wspec((1, 3 * d)), wspec((1, 3 * d)),
+                     wspec((1, 3 * d)), wspec((1, 3 * d)), wspec((1, 3 * d)),
+                     wspec((1, fc)), wspec((1, fc)), wspec((1, fc)),
+                     wspec((1, fc)), wspec((1, n_out))]
+        operands += [s_wic, s_wi1, s_wh1, s_w2x, s_w2a, s_wh2,
+                     s_wf1x, s_wf1a, s_wf2x, s_wf2a, s_wf3]
+
     out, h1o, h2o, xo = pl.pallas_call(
         kernel,
         grid=(T_pad // chunk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
-            pl.BlockSpec((chunk, B, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),             # cond stream
-            wspec((1, d)), wspec((feat + adim, d)), wspec((1, d)),   # I
-            wspec((d, 3 * d)), wspec((d, 3 * d)),              # wi1, wh1
-            wspec((1, 3 * d)), wspec((1, 3 * d)),              # bi1, bh1
-            wspec((d, 3 * d)), wspec((adim, 3 * d)),           # w2x, w2a
-            wspec((d, 3 * d)),                                 # wh2
-            wspec((1, 3 * d)), wspec((1, 3 * d)),              # bi2, bh2
-            wspec((d, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc1
-            wspec((fc, fc)), wspec((adim, fc)), wspec((1, fc)),  # fc2
-            wspec((fc, n_out)), wspec((1, n_out)),             # fc3
-            wspec((1, n_out)),                                 # class values
-            sspec((B, d)), sspec((B, d)), sspec((B, LANE)),    # state in
-        ],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((chunk, B), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    sspec((B, d)), sspec((B, d)), sspec((B, LANE))),
@@ -274,18 +334,7 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
             pltpu.VMEM((B, LANE), jnp.float32),  # x carry
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(jnp.asarray([seed], jnp.int32),
-      cond,
-      W_I[:1].astype(f32), W_I[1:].astype(wdt), b_I.reshape(1, -1).astype(f32),
-      wi1.astype(wdt), wh1.astype(wdt),
-      bi1.reshape(1, -1).astype(f32), bh1.reshape(1, -1).astype(f32),
-      w2x.astype(wdt), w2a.astype(wdt), wh2.astype(wdt),
-      bi2.reshape(1, -1).astype(f32), bh2.reshape(1, -1).astype(f32),
-      wf1x.astype(wdt), wf1a.astype(wdt), bf1.reshape(1, -1).astype(f32),
-      wf2x.astype(wdt), wf2a.astype(wdt), bf2.reshape(1, -1).astype(f32),
-      wf3_p.astype(wdt), bf3_p.astype(f32), cls_vals,
-      state["h1"].astype(f32), state["h2"].astype(f32),
-      state["x"].astype(f32))
+    )(*operands)
     if return_state:
         return out[:T], {"h1": h1o, "h2": h2o, "x": xo}
     return out[:T]

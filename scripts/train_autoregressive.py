@@ -233,23 +233,31 @@ def main():
             if mine_dataset is not None and new_bs != mine_dataset.batch_size:
                 mine_dataset.change_batches(new_bs)
 
-        loss_val = float(metrics["loss"])
-        for w in avg_windows.values():
-            w.append(loss_val)
-        t.set_postfix(loss=loss_val,
-                      **{f"avg{n}": round(w.average, 4)
-                         for n, w in avg_windows.items()})
-        if np.isnan(loss_val) or loss_val > 1e4:
-            raise RuntimeError(f"Loss exploded to {loss_val} at step {step}")
+        # metrics sync every sync_every steps only: float(loss) forces a
+        # host<->device round trip (tens of ms on a congested tunnel), which
+        # would otherwise serialize every step against the wire. jax's async
+        # dispatch keeps the device busy between syncs.
+        sync_every = int(config.get("metrics_sync_frequency", 10))
+        if step % sync_every == 0 or step + 1 == max_steps:
+            loss_val = float(metrics["loss"])
+            for w in avg_windows.values():
+                w.append(loss_val)
+            t.set_postfix(loss=loss_val,
+                          **{f"avg{n}": round(w.average, 4)
+                             for n, w in avg_windows.items()})
+            if np.isnan(loss_val) or loss_val > 1e4:
+                raise RuntimeError(
+                    f"Loss exploded to {loss_val} at step {step}")
+            summary.add_scalar("train/loss", loss_val, step=step)
+            for k, v in metrics["losses"].items():
+                summary.add_scalar(f"train/{k}", float(v), step=step)
+            summary.add_scalar("meta/reduction_factor", r, step=step)
+            summary.add_scalar("meta/prenet_dropout", prenet_dropout,
+                               step=step)
         if args.profile_dir and step == start_step + 10:
             jax.profiler.start_trace(args.profile_dir)
         if args.profile_dir and step == start_step + 30:
             jax.profiler.stop_trace()
-        summary.add_scalar("train/loss", loss_val, step=step)
-        for k, v in metrics["losses"].items():
-            summary.add_scalar(f"train/{k}", float(v), step=step)
-        summary.add_scalar("meta/reduction_factor", r, step=step)
-        summary.add_scalar("meta/prenet_dropout", prenet_dropout, step=step)
 
         if (step + 1) % config["weights_save_frequency"] == 0 or step + 1 == max_steps:
             ckpt.save_state(step + 1, state)

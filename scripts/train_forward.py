@@ -81,9 +81,12 @@ def main():
         if mesh is not None:
             b = shard_batch(local_shard(b), mesh)
         state, metrics = train_step(state, b, jax.random.fold_in(key, step))
-        t.set_postfix(loss=float(metrics["loss"]))
-        for k, v in metrics.items():
-            summary.add_scalar(f"train/{k}", float(v), step=step)
+        # sync metrics every N steps only (host round trip per float())
+        if step % int(config.get("metrics_sync_frequency", 10)) == 0 \
+                or step + 1 == max_steps:
+            t.set_postfix(loss=float(metrics["loss"]))
+            for k, v in metrics.items():
+                summary.add_scalar(f"train/{k}", float(v), step=step)
         if (step + 1) % config.get("weights_save_frequency", 10000) == 0 \
                 or step + 1 == max_steps:
             ckpt.save_state(step + 1, state)

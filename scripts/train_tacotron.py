@@ -111,14 +111,18 @@ def main():
         if mesh is not None:
             b = shard_batch(local_shard(b), mesh)
         state, metrics = step_fn(state, b, jax.random.fold_in(key, step))
-        loss = float(metrics["loss"])
-        t.set_postfix(loss=loss)
-        if loss > 100 or np.isnan(loss):
-            raise RuntimeError(f"Loss exploded to {loss} at step {step} "
-                               "(gst_tacotron/train.py:100-102 guard)")
-        summary.add_scalar("train/loss", loss, step=step)
-        for k in ("mel_loss", "linear_loss", "ref_enc_loss"):
-            summary.add_scalar(f"train/{k}", float(metrics[k]), step=step)
+        # sync metrics every N steps only (host round trip per float())
+        if step % int(config.get("metrics_sync_frequency", 10)) == 0 \
+                or step + 1 == args.max_steps:
+            loss = float(metrics["loss"])
+            t.set_postfix(loss=loss)
+            if loss > 100 or np.isnan(loss):
+                raise RuntimeError(f"Loss exploded to {loss} at step {step} "
+                                   "(gst_tacotron/train.py:100-102 guard)")
+            summary.add_scalar("train/loss", loss, step=step)
+            for k in ("mel_loss", "linear_loss", "ref_enc_loss"):
+                summary.add_scalar(f"train/{k}", float(metrics[k]),
+                                   step=step)
         if (step + 1) % config.get("checkpoint_interval", 1000) == 0 \
                 or step + 1 == args.max_steps:
             ckpt.save_state(step + 1, state)

@@ -104,8 +104,13 @@ def main():
         if mesh is not None:
             b = shard_batch(local_shard(b), mesh)
         state, metrics = step_fn(state, b, jax.random.fold_in(key, step))
-        t.set_postfix(loss=float(metrics["loss"]))
-        summary.add_scalar("train/loss", float(metrics["loss"]), step=step)
+        # sync metrics every N steps only: float() is a host round trip that
+        # would serialize every step against the device tunnel
+        if step % int(config.get("metrics_sync_frequency", 10)) == 0 \
+                or step + 1 == max_steps:
+            loss_val = float(metrics["loss"])
+            t.set_postfix(loss=loss_val)
+            summary.add_scalar("train/loss", loss_val, step=step)
         if (step + 1) % gen_every == 0 or step + 1 == max_steps:
             ckpt.save_state(step + 1, state)
             # gen_testset (train_wavernn.py:54-57, gen_wavernn.py:10-34)

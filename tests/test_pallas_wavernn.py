@@ -161,3 +161,45 @@ class TestStreamingState:
         out2, _ = call(cond[7:], st)
         got = np.concatenate([np.asarray(out1), np.asarray(out2)])
         np.testing.assert_allclose(got, np.asarray(full), atol=1e-5)
+
+
+class TestInt8Weights:
+    """int8 per-column weight quantization (VERDICT r2 #2): the sample value
+    trajectory must track the f32 path closely — quantization may flip
+    borderline argmax picks, but a broken scale/dequant path collapses the
+    output entirely."""
+
+    def test_raw_int8_tracks_f32(self):
+        key = jax.random.PRNGKey(0)
+        n_classes = 16
+        w = _weights(key, n_classes)
+        w["wf3"] = w["wf3"] * 100.0  # peaky -> near-deterministic sampling
+        cond = _cond(jax.random.fold_in(key, 1))
+        f32 = np.asarray(_call_kernel(cond, w, seed=3, mode="RAW",
+                                      n_classes=n_classes))
+        i8 = np.asarray(wavernn_sample_loop(
+            cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+            w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"], w["bf2"],
+            w["wf3"], w["bf3"], seed=3, feat=FEAT, adim=ADIM, chunk=4,
+            interpret=True, weight_dtype="int8", mode="RAW",
+            n_classes=n_classes))
+        assert np.mean(np.abs(i8 - f32)) < 0.1, np.mean(np.abs(i8 - f32))
+        assert np.abs(i8).max() <= 1.0 + 1e-6
+
+    def test_mol_int8_concentrated_means(self):
+        key = jax.random.PRNGKey(2)
+        w = _weights(key, 30)
+        w["wf3"] = jnp.zeros((FC, 30))
+        bf3 = np.zeros(30, np.float32)
+        bf3[10:20] = 0.7
+        bf3[20:30] = -8.0
+        w["bf3"] = jnp.asarray(bf3)
+        cond = _cond(jax.random.fold_in(key, 1))
+        got = np.asarray(wavernn_sample_loop(
+            cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+            w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"], w["bf2"],
+            w["wf3"], w["bf3"], seed=5, feat=FEAT, adim=ADIM, chunk=4,
+            interpret=True, weight_dtype="int8", mode="MOL"))
+        assert np.abs(got - 0.7).max() < 0.05, np.abs(got - 0.7).max()
