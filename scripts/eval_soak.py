@@ -1,0 +1,118 @@
+"""Score free-running synthesis from a trained soak checkpoint.
+
+Post-soak evidence (VERDICT r2 #3): load the trained AR checkpoint through
+the real inference API, synthesize every held-out test utterance free-running
+(stop-enabled, speaker d-vector + GST reference from the ground-truth wav),
+Griffin-Lim to waveform, and score against the ground truth with the full
+`etts.evalsuite` metric bundle — including WER through the corpus-trained
+char-CTC transcriber. Writes syn wavs + a CSV and prints a summary row.
+"""
+import argparse
+import csv
+from pathlib import Path
+
+import _bootstrap  # noqa: F401
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--session_name", type=str, required=True)
+    parser.add_argument("--out_dir", type=str, required=True)
+    parser.add_argument("--n_utts", type=int, default=10)
+    parser.add_argument("--max_length", type=int, default=600)
+    parser.add_argument("--ctc_ckpt", type=str, default=None,
+                        help="char-CTC checkpoint for WER")
+    args = parser.parse_args()
+
+    import jax
+    from etts.api import TTSSynthesizer
+    from etts.data.audio_io import load_wav, save_wav
+    from etts.evalsuite.metrics import compute_all_metrics
+
+    cfg_dir = Path(args.config)
+    out_dir = Path(args.out_dir)
+    (out_dir / "syn").mkdir(parents=True, exist_ok=True)
+
+    tts = TTSSynthesizer(args.config, args.session_name)
+    sr = tts.config["sampling_rate"]
+    print(f"restored checkpoint step {tts.step}")
+
+    # held-out utterances: id|text|phonemes
+    rows = []
+    with open(cfg_dir / "test_metafile.txt", encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) >= 2:
+                rows.append((parts[0], parts[1]))
+    rows = rows[:args.n_utts]
+
+    transcriber = None
+    if args.ctc_ckpt:
+        from etts.evalsuite.ctc_asr import CTCTranscriber
+        from etts.evalsuite.wer import wer
+        transcriber = CTCTranscriber(args.ctc_ckpt)
+
+    results = []
+    for i, (uid, text) in enumerate(rows):
+        gt_path = cfg_dir / "wavs" / f"{uid}.wav"
+        gt, _ = load_wav(str(gt_path), sr)
+        ref_mel = tts.mel_from_wav(gt)
+        spk = None
+        spk_path = cfg_dir / "spk_embeds" / f"{uid}.npy"
+        if tts.model.has_speaker and spk_path.exists():
+            spk = np.load(spk_path)
+        out = tts.predict(text, ref_mel=ref_mel, spk_embed=spk,
+                          max_length=args.max_length,
+                          key=jax.random.PRNGKey(i))
+        mel = out["mel"]
+        wav = np.asarray(tts.audio.reconstruct_waveform(mel.T, n_iter=32))
+        syn_path = out_dir / "syn" / f"{uid}.wav"
+        save_wav(wav, str(syn_path), sr)
+        m = compute_all_metrics(np.asarray(gt), wav, sr)
+        m["file"] = uid
+        m["mel_frames"] = mel.shape[0]
+        m["gt_frames"] = ref_mel.shape[0]
+        if transcriber is not None:
+            hyp = transcriber.transcribe_wav(wav, sr)
+            m["WER_syn"] = wer(text, hyp)
+            m["hyp"] = hyp
+        results.append(m)
+        print(f"{uid}: mel {mel.shape[0]}f (gt {ref_mel.shape[0]}f) "
+              f"MCD {m['MCD']:.2f} STOI {m['STOI']:.3f}"
+              + (f" WER {m['WER_syn']:.2f}" if transcriber else ""))
+
+    # noise baseline for context
+    rng = np.random.default_rng(0)
+    base = []
+    for uid, _ in rows[:3]:
+        gt, _ = load_wav(str(cfg_dir / "wavs" / f"{uid}.wav"), sr)
+        noise = rng.standard_normal(len(gt)).astype(np.float32) * 0.3
+        base.append(compute_all_metrics(np.asarray(gt), noise, sr))
+    keys = ["MCD", "FD", "RMSE_F0", "STOI", "PESQ_proxy"]
+    if transcriber is not None:
+        keys.append("WER_syn")
+    with open(out_dir / "scores.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["file", "mel_frames", "gt_frames"]
+                           + keys + (["hyp"] if transcriber else []))
+        w.writeheader()
+        for m in results:
+            w.writerow({k: m.get(k) for k in w.fieldnames})
+
+    def agg(ms, k):
+        vals = [m[k] for m in ms if m.get(k) is not None
+                and np.isfinite(m[k])]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    print("\n=== soak eval summary (mean over held-out utts) ===")
+    for k in keys:
+        line = f"  {k:12s} syn {agg(results, k):8.3f}"
+        if k in base[0]:
+            line += f"   noise-baseline {agg(base, k):8.3f}"
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
