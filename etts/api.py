@@ -131,6 +131,7 @@ class TTSSynthesizer:
         spk = None
         if spk_embed is not None:
             spk = jnp.asarray(spk_embed).reshape(1, 1, -1)
+        self._check_conditioning(ref, spk)
         out = self._run_decode(inp, ref, spk, max_length, key)
         n = int(out["mel_length"])
         return {"mel": np.asarray(out["mel"][0][:n]),
@@ -154,10 +155,25 @@ class TTSSynthesizer:
         if spk_embed is not None and self.model.has_speaker:
             spk = jnp.tile(jnp.asarray(spk_embed).reshape(1, 1, -1),
                            (len(seqs), 1, 1))
+        self._check_conditioning(ref, spk)
         out = self._run_decode(jnp.asarray(inp), ref, spk, max_length, key)
         lengths = np.asarray(out["mel_lengths"])
         return [np.asarray(out["mel"][i][:int(lengths[i])])
                 for i in range(len(seqs))]
+
+    def _check_conditioning(self, ref, spk):
+        """Fail with a clear message instead of a jnp.tile TypeError deep in
+        encode when required conditioning for the system_type is missing."""
+        st = self.model.system_type
+        if self.model.has_style and ref is None:
+            raise ValueError(
+                f"model system_type={st!r} requires reference-style audio: "
+                "pass ref_mel= (e.g. TTSSynthesizer.mel_from_wav(wav))")
+        if self.model.has_speaker and spk is None:
+            raise ValueError(
+                f"model system_type={st!r} requires a speaker embedding: "
+                "pass spk_embed= (a d-vector .npy, see "
+                "synthesize_sentences_speaker.py --spk_embed_dir)")
 
     def mel_from_wav(self, wav):
         """Reference-audio wav -> normalized mel (t, n_mels)."""

@@ -352,14 +352,22 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
                            method=AutoregressiveTransformer.postnet_forward)
         final_r = post["final_output"][:, -r:, :]
         out_buf2 = jax.lax.dynamic_update_slice(out_buf, final_r, (0, i * r, 0))
-        stop_logits = post["stop_prob"][:, -1]
+        # stop head over ALL r new frames: at r>1 the stop class can fire on
+        # an interior frame of the group (utterance ends of the "wrong"
+        # parity) which a last-frame-only check never sees — the decode then
+        # runs to max_length (the reference predict loop shares the miss,
+        # `AutoregressiveTransformer.py:281-293` checks stop_prob[:, -1] only)
+        stop_logits = post["stop_prob"][:, -r:]
         if stop_enabled:
-            stop_now = (jnp.argmax(stop_logits, axis=-1)
-                        == model.stop_prob_index)
+            hit = (jnp.argmax(stop_logits, axis=-1)
+                   == model.stop_prob_index)            # (b, r)
+            stop_now = hit.any(axis=-1)
         else:
+            hit = jnp.zeros((b, r), bool)
             stop_now = jnp.zeros((b,), bool)
-        # per-utterance length: frames up to and including the stopping step
-        new_lengths = jnp.where(stopped_vec, lengths, (i + 1) * r)
+        # per-utterance length: frames up to and including the stopping frame
+        group_len = jnp.where(stop_now, jnp.argmax(hit, axis=-1) + 1, r)
+        new_lengths = jnp.where(stopped_vec, lengths, i * r + group_len)
         next_input = final_r[:, -1:, :]
         return (i + 1, stopped_vec | stop_now, next_input, new_caches,
                 lin_buf2, out_buf2, new_lengths)
@@ -449,14 +457,20 @@ def make_chunk_decoder(model: AutoregressiveTransformer, *, chunk: int,
                     variables, window,
                     method=AutoregressiveTransformer.postnet_forward)
                 final_r = post["final_output"][:, -r:, :]
-                stop_logits = post["stop_prob"][:, -1]
+                # all-r-frame stop check (see autoregressive_predict: a
+                # last-frame-only check misses interior-parity stops at r>1)
+                stop_logits = post["stop_prob"][:, -r:]
                 if stop_enabled:
-                    stop_now = (jnp.argmax(stop_logits, axis=-1)
-                                == model.stop_prob_index)
+                    hit = (jnp.argmax(stop_logits, axis=-1)
+                           == model.stop_prob_index)    # (b, r)
+                    stop_now = hit.any(axis=-1)
                 else:
+                    hit = jnp.zeros((b, r), bool)
                     stop_now = jnp.zeros((b,), bool)
+                group_len = jnp.where(stop_now,
+                                      jnp.argmax(hit, axis=-1) + 1, r)
                 new_lengths = jnp.where(state["stopped"], state["lengths"],
-                                        (i + 1) * r)
+                                        i * r + group_len)
                 new_state = dict(
                     state, i=i + 1, stopped=state["stopped"] | stop_now,
                     last=final_r[:, -1:, :], caches=new_caches,

@@ -224,20 +224,28 @@ def _make_kernel(cfg):
                         + psh_ref[npost - 1:npost, :LANE]   # linear last conv
                     return (mel_lin + y) * outs_ref[:] + outb_ref[:]
 
+                # default length: the whole group (overwritten below when the
+                # stop class fires on an interior frame — a last-frame-only
+                # check misses even-parity utterance ends at r>1 and decodes
+                # to max_length)
+                state_ref[1] = (t + 1) * r
                 final = None
                 for fj in range(r):
                     fr = mel_lin_r[:, fj * LANE:(fj + 1) * LANE]
                     final = postnet_frame(fr)
                     out_ref[t * r + fj, :] = final[0]
-                # ---- stop head on the NEWEST mel_linear frame ----
-                last_lin = mel_lin_r[:, (r - 1) * LANE:r * LANE]
-                stop_logits = dot(last_lin, stopw_ref[:]) + stopb_ref[:]
-                cls = jnp.argmax(stop_logits, axis=-1)[0]
-                state_ref[1] = (t + 1) * r
-                if stop_enabled:
-                    @pl.when(cls == stop_index)
-                    def _():
-                        state_ref[0] = 1
+                    if stop_enabled:
+                        # stop head on this mel_linear frame (model applies
+                        # stop_linear to the pre-postnet frame, layers.py
+                        # Postnet); first firing frame wins the length
+                        stop_logits = dot(fr, stopw_ref[:]) + stopb_ref[:]
+                        cls = jnp.argmax(stop_logits, axis=-1)[0]
+
+                        @pl.when(jnp.logical_and(cls == stop_index,
+                                                 state_ref[0] == 0))
+                        def _(fj=fj):
+                            state_ref[0] = 1
+                            state_ref[1] = t * r + fj + 1
                 # ---- feedback ----
                 frame_ref[:] = final
 

@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--ref_types", type=str, nargs="*", default=None)
     parser.add_argument("--out_dir", type=str, default="synth_out")
     parser.add_argument("--max_length", type=int, default=1000)
+    parser.add_argument("--spk_embed", type=str, default=None,
+                        help="speaker d-vector .npy (required for "
+                             "speaker-conditioned system_types)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -68,9 +71,10 @@ def main():
                 continue
             y, _ = load_wav(str(ref_wav_path), sr)
             ref_mel = tts.mel_from_wav(y)
+        spk_embed = np.load(args.spk_embed) if args.spk_embed else None
         for i, sentence in enumerate(sentences):
             print(f"[{ref_type}] {sentence!r}")
-            out = tts.predict(sentence, ref_mel=ref_mel,
+            out = tts.predict(sentence, ref_mel=ref_mel, spk_embed=spk_embed,
                               max_length=args.max_length,
                               key=jax.random.PRNGKey(args.seed + i))
             mel = out["mel"]  # (t, n_mels) in [-4, 4]

@@ -134,7 +134,10 @@ class TestAutoregressive:
                                      key=jax.random.PRNGKey(0))
         assert out["mel"].shape[2] == 20
         assert int(out["steps"]) >= 1
-        assert int(out["mel_length"]) == int(out["steps"]) * 2
+        # exact length accounting: the stop can fire on any frame of the
+        # final r-group, so length lands in ((steps-1)*r, steps*r]
+        assert (int(out["steps"]) - 1) * 2 < int(out["mel_length"]) \
+            <= int(out["steps"]) * 2
 
     def test_predict_with_style_and_speaker(self):
         model, variables = self._init("speaker_style_text")
@@ -146,6 +149,22 @@ class TestAutoregressive:
                                      max_length=12,
                                      key=jax.random.PRNGKey(0))
         assert np.isfinite(np.asarray(out["mel"])).all()
+
+    def test_predict_stop_interior_frame_r2(self):
+        """An always-firing stop head at r=2 fires on the FIRST frame of the
+        group; a last-frame-only check misses interior-parity stops and runs
+        to max_length (the soak-trained checkpoint hit exactly this). The
+        decode must stop after one step with exact length 1."""
+        model, variables = self._init("text")
+        sl = variables["params"]["Postnet"]["stop_linear"]
+        sl["kernel"] = jnp.zeros_like(sl["kernel"])
+        sl["bias"] = jnp.asarray([0.0, 0.0, 10.0])
+        x = jnp.ones((1, 7), jnp.int32)
+        out = autoregressive_predict(model, variables, x, None, None, r=2,
+                                     max_length=20,
+                                     key=jax.random.PRNGKey(0))
+        assert int(out["steps"]) == 1
+        assert int(out["mel_length"]) == 1
 
     def test_incremental_decode_matches_teacher_forced(self):
         """KV-cached step decode must agree with the full decode when prenet

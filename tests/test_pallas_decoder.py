@@ -119,6 +119,29 @@ def test_fused_decode_stop_token():
     assert np.allclose(np.asarray(mel[0][2:]), 0.0)
 
 
+def test_fused_decode_stop_interior_frame_r2():
+    """r=2 with an always-firing stop head: the stop class fires on the FIRST
+    frame of the group, which a last-frame-only check never sees (the decode
+    would run to max_steps on even-parity utterance ends — the soak-trained
+    checkpoint hit exactly this). Exact length accounting: 1 frame."""
+    model, variables, phon = _model_and_vars()
+    p = variables["params"]
+    sl = p["Postnet"]["stop_linear"]
+    sl["kernel"] = jnp.zeros_like(sl["kernel"])
+    sl["bias"] = jnp.asarray([0.0, 0.0, 10.0])
+    enc_out, *_ = model.apply(
+        variables, phon, None, None, False, False, 0,
+        method=AutoregressiveTransformer.encode,
+        rngs={"dropout": jax.random.PRNGKey(2),
+              "prenet": jax.random.PRNGKey(2)})
+    mel, length, n = fused_decode(model, variables, enc_out, max_steps=10,
+                                  r=2, key=jax.random.PRNGKey(3),
+                                  prenet_dropout=0.0, stop_enabled=True,
+                                  interpret=True)
+    assert int(n) == 1          # one decode step ran
+    assert int(length) == 1     # stop fired on frame 0 of the r-group
+
+
 def test_fused_decode_dropout_is_applied():
     """With prenet_dropout > 0 the mel must differ from the rate-0 decode (the
     reference keeps prenet dropout ON at inference). Seed-to-seed variation

@@ -77,6 +77,20 @@ class TestStreamMel:
         total = sum(c.shape[0] for c in chunks)
         assert total == 1  # stop fires on the first frame
 
+    def test_stop_interior_frame_r2(self):
+        """At r=2 the always-firing stop head fires on the FIRST frame of the
+        group — a last-frame-only check would stream to max_length (the
+        soak-trained checkpoint hit exactly this parity miss)."""
+        model, variables, phon = _tts()
+        sl = variables["params"]["Postnet"]["stop_linear"]
+        sl["kernel"] = jnp.zeros_like(sl["kernel"])
+        sl["bias"] = jnp.asarray([0.0, 0.0, 10.0])
+        chunks = list(stream_mel(model, variables, phon, chunk=4, r=2,
+                                 max_length=40, prenet_dropout=0.0,
+                                 key=jax.random.PRNGKey(0)))
+        total = sum(c.shape[0] for c in chunks)
+        assert total == 1  # exact length: stop on frame 0 of the r-group
+
 
 class TestStreamVocode:
     def test_matches_one_shot_sample_loop(self):
