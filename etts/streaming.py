@@ -99,14 +99,18 @@ def stream_mel(model: AutoregressiveTransformer, variables, inputs,
             yield np.asarray(p_out[0, :take])
 
 
-def _jit_vocode_chunk(model: WaveRNN, n_frames: int, use_pallas: bool):
+def _jit_vocode_chunk(model: WaveRNN, n_frames: int, use_pallas: bool,
+                      weight_dtype=None):
     """Jitted one-chunk vocode with carried state.
 
     TPU path: the fused Pallas kernel with VMEM-resident weights and explicit
     state in/out — the lax.scan path re-streams ~14 MB of weights from HBM
-    per SAMPLE (~23 us/step at 512 dims), 10x the kernel."""
+    per SAMPLE (~23 us/step at 512 dims), 10x the kernel.
+    ``weight_dtype="int8"`` streams per-column-quantized kernel weights
+    (halves the VMEM weight stream that bounds the sample step)."""
     if use_pallas:
         from .ops.pallas.wavernn_cell import wavernn_sample_loop, LANE
+        kw = {} if weight_dtype is None else {"weight_dtype": weight_dtype}
 
         @jax.jit
         def fn(variables, mel_ctx, state):
@@ -130,7 +134,8 @@ def _jit_vocode_chunk(model: WaveRNN, n_frames: int, use_pallas: bool):
                 Wf1[:d], Wf1[d:], bf1, Wf2[:model.fc_dims],
                 Wf2[model.fc_dims:], bf2, Wf3, bf3, seed,
                 feat=model.feat_dims, adim=model.aux_dims, mode=model.mode,
-                n_classes=model.n_classes, state=kstate, return_state=True)
+                n_classes=model.n_classes, state=kstate, return_state=True,
+                **kw)
             return out[:, 0], {"h1": new["h1"], "h2": new["h2"],
                                "x": new["x"][:, :1],
                                "key": jax.random.fold_in(state["key"], 1)}
@@ -150,7 +155,7 @@ def _jit_vocode_chunk(model: WaveRNN, n_frames: int, use_pallas: bool):
 
 def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
                   chunk_frames: int = 40, mu_law: bool = True, key=None,
-                  use_pallas: bool | None = None,
+                  use_pallas: bool | None = None, int8_weights: bool = False,
                   _fn_cache={}) -> Iterator[np.ndarray]:
     """Consume an iterator of vocoder-convention mel chunks (t_i, n_mels),
     yield waveform chunks of chunk_frames*hop samples (last chunk shorter).
@@ -174,11 +179,15 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
         use_pallas = jax.default_backend() == "tpu"
     from .ops.pallas import pallas_available
     use_pallas = use_pallas and pallas_available
-    fkey = (id(model), chunk_frames, use_pallas)
+    # int8 weight streaming exists only in the kernel path (generate() has
+    # the same contract: the flag is a no-op on the lax.scan path)
+    wdt = "int8" if (int8_weights and use_pallas) else None
+    fkey = (id(model), chunk_frames, use_pallas, wdt)
     if fkey not in _fn_cache:
         # strong model ref in the value prevents stale-id cache aliasing
         _fn_cache[fkey] = (model,
-                           _jit_vocode_chunk(model, chunk_frames, use_pallas))
+                           _jit_vocode_chunk(model, chunk_frames, use_pallas,
+                                             wdt))
     vocode = _fn_cache[fkey][1]
     n_mels = model.feat_dims
     # device-side buffering: a host round-trip per chunk would serialize the
@@ -230,6 +239,7 @@ def stream_synthesize(tts_model, tts_variables, voc_model, voc_variables,
                       r: int = 1, max_length: int = 1000,
                       mel_chunk: int = 40, prenet_dropout: float = 0.5,
                       stop_enabled: bool = True, mu_law: bool = True,
+                      int8_weights: bool = False,
                       key=None) -> Iterator[np.ndarray]:
     """Text tokens -> streaming waveform chunks (end-to-end).
 
@@ -246,4 +256,4 @@ def stream_synthesize(tts_model, tts_variables, voc_model, voc_variables,
     scaled = ((jnp.asarray(m) + 4.0) / 8.0 for m in mels)  # stays on device
     yield from stream_vocode(voc_model, voc_variables, scaled,
                              chunk_frames=mel_chunk * r, mu_law=mu_law,
-                             key=k_voc)
+                             int8_weights=int8_weights, key=k_voc)

@@ -187,6 +187,33 @@ class TestInt8Weights:
         assert np.mean(np.abs(i8 - f32)) < 0.1, np.mean(np.abs(i8 - f32))
         assert np.abs(i8).max() <= 1.0 + 1e-6
 
+    def test_chunked_state_carry_int8(self):
+        """int8 weights + carried GRU/feedback state — the combination
+        `stream_vocode(int8_weights=True)` runs: two chunks with carried
+        state must equal one full-length int8 call (deterministic peaky
+        RAW sampling)."""
+        key = jax.random.PRNGKey(7)
+        n_classes = 16
+        w = _weights(key, n_classes)
+        w["wf3"] = w["wf3"] * 100.0
+        cond = _cond(jax.random.fold_in(key, 1))
+
+        def call(c, state):
+            return wavernn_sample_loop(
+                c, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"],
+                w["bh1"], w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+                w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"],
+                w["bf2"], w["wf3"], w["bf3"], 3, feat=FEAT, adim=ADIM,
+                chunk=4, interpret=True, weight_dtype="int8",
+                mode="RAW", n_classes=n_classes, state=state,
+                return_state=True)
+
+        full, _ = call(cond, None)
+        out1, st = call(cond[:7], None)
+        out2, _ = call(cond[7:], st)
+        got = np.concatenate([np.asarray(out1), np.asarray(out2)])
+        np.testing.assert_allclose(got, np.asarray(full), atol=1e-5)
+
     def test_mol_int8_concentrated_means(self):
         key = jax.random.PRNGKey(2)
         w = _weights(key, 30)
