@@ -25,6 +25,14 @@ def main():
     parser.add_argument("--max_length", type=int, default=600)
     parser.add_argument("--ctc_ckpt", type=str, default=None,
                         help="char-CTC checkpoint for WER")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="restore this weights dir step path instead of "
+                             "latest (e.g. .../autoregressive_weights/8000)")
+    parser.add_argument("--vocoder_session", type=str, default=None,
+                        help="vocode with this trained WaveRNN session "
+                             "(same config dir) instead of Griffin-Lim")
+    parser.add_argument("--model_kind", type=str, default="autoregressive",
+                        choices=["autoregressive", "forward"])
     args = parser.parse_args()
 
     import jax
@@ -36,9 +44,25 @@ def main():
     out_dir = Path(args.out_dir)
     (out_dir / "syn").mkdir(parents=True, exist_ok=True)
 
-    tts = TTSSynthesizer(args.config, args.session_name)
+    tts = TTSSynthesizer(args.config, args.session_name,
+                         checkpoint=args.checkpoint,
+                         model_kind=args.model_kind)
     sr = tts.config["sampling_rate"]
     print(f"restored checkpoint step {tts.step}")
+
+    vocoder = None
+    if args.vocoder_session:
+        from etts.api import VocoderSynthesizer
+        vocoder = VocoderSynthesizer(args.config, args.vocoder_session)
+
+    def to_wav(mel_t80, key):
+        """TTS mel (t, 80) in [-4, 4] -> waveform (trained WaveRNN when
+        given, else Griffin-Lim), via the (mel+4)/8 store contract."""
+        if vocoder is not None:
+            return np.asarray(vocoder.generate((mel_t80 + 4.0) / 8.0,
+                                               key=key))
+        return np.asarray(tts.audio.reconstruct_waveform(mel_t80.T,
+                                                         n_iter=32))
 
     # held-out utterances: id|text|phonemes
     rows = []
@@ -62,13 +86,13 @@ def main():
         ref_mel = tts.mel_from_wav(gt)
         spk = None
         spk_path = cfg_dir / "spk_embeds" / f"{uid}.npy"
-        if tts.model.has_speaker and spk_path.exists():
+        if getattr(tts.model, "has_speaker", False) and spk_path.exists():
             spk = np.load(spk_path)
         out = tts.predict(text, ref_mel=ref_mel, spk_embed=spk,
                           max_length=args.max_length,
                           key=jax.random.PRNGKey(i))
         mel = out["mel"]
-        wav = np.asarray(tts.audio.reconstruct_waveform(mel.T, n_iter=32))
+        wav = to_wav(mel, jax.random.PRNGKey(1000 + i))
         syn_path = out_dir / "syn" / f"{uid}.wav"
         save_wav(wav, str(syn_path), sr)
         m = compute_all_metrics(np.asarray(gt), wav, sr)
@@ -78,22 +102,34 @@ def main():
         if transcriber is not None:
             hyp = transcriber.transcribe_wav(wav, sr)
             m["WER_syn"] = wer(text, hyp)
+            m["WER_ori"] = wer(text, transcriber.transcribe_wav(
+                np.asarray(gt), sr))
             m["hyp"] = hyp
         results.append(m)
         print(f"{uid}: mel {mel.shape[0]}f (gt {ref_mel.shape[0]}f) "
               f"MCD {m['MCD']:.2f} STOI {m['STOI']:.3f}"
               + (f" WER {m['WER_syn']:.2f}" if transcriber else ""))
 
-    # noise baseline for context
+    # context baselines: resynthesis of the GROUND-TRUTH mel through the
+    # same waveform backend (acoustic-model-independent metric ceiling)
+    # and white noise (floor)
+    ceiling_name = "voc-of-GT" if vocoder is not None else "GL-of-GT"
     rng = np.random.default_rng(0)
-    base = []
-    for uid, _ in rows[:3]:
+    base, glgt = [], []
+    for j, (uid, btext) in enumerate(rows[:3]):
         gt, _ = load_wav(str(cfg_dir / "wavs" / f"{uid}.wav"), sr)
+        gt = np.asarray(gt)
         noise = rng.standard_normal(len(gt)).astype(np.float32) * 0.3
-        base.append(compute_all_metrics(np.asarray(gt), noise, sr))
+        base.append(compute_all_metrics(gt, noise, sr))
+        gmel = tts.mel_from_wav(gt)
+        gwav = to_wav(gmel, jax.random.PRNGKey(2000 + j))
+        gm = compute_all_metrics(gt, gwav, sr)
+        if transcriber is not None:
+            gm["WER_syn"] = wer(btext, transcriber.transcribe_wav(gwav, sr))
+        glgt.append(gm)
     keys = ["MCD", "FD", "RMSE_F0", "STOI", "PESQ_proxy"]
     if transcriber is not None:
-        keys.append("WER_syn")
+        keys += ["WER_syn", "WER_ori"]
     with open(out_dir / "scores.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["file", "mel_frames", "gt_frames"]
                            + keys + (["hyp"] if transcriber else []))
@@ -109,9 +145,14 @@ def main():
     print("\n=== soak eval summary (mean over held-out utts) ===")
     for k in keys:
         line = f"  {k:12s} syn {agg(results, k):8.3f}"
+        if k in glgt[0]:
+            line += f"   {ceiling_name} {agg(glgt, k):8.3f}"
         if k in base[0]:
-            line += f"   noise-baseline {agg(base, k):8.3f}"
+            line += f"   noise {agg(base, k):8.3f}"
         print(line)
+    ratios = [m["mel_frames"] / m["gt_frames"] for m in results]
+    print(f"  length ratio syn/gt: mean {np.mean(ratios):.2f} "
+          f"min {np.min(ratios):.2f} max {np.max(ratios):.2f}")
 
 
 if __name__ == "__main__":
