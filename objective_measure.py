@@ -84,6 +84,16 @@ def main():
 
     metric_keys = ["MCD", "FD", "RMSE_F0", "STOI", "PESQ", "PESQ_proxy",
                    "WER_syn", "WER_ori"]
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+
+    def model_name_of(d):
+        # disambiguate generic leaf names (".../curve_14000/syn") so two
+        # models' per-file CSVs don't overwrite each other
+        p = Path(d)
+        names = [Path(x).name for x in args.syn_dirs]
+        return (f"{p.parent.name}_{p.name}"
+                if names.count(p.name) > 1 else p.name)
+
     rows = []
     for syn_dir in args.syn_dirs:
         pairs = find_pairs(args.ref_dir, syn_dir, texts)
@@ -97,7 +107,7 @@ def main():
         # per-model per-file CSV, next to the aggregate log (the reference
         # wrote into the CWD; keep outputs where --out points)
         import csv
-        model_name = Path(syn_dir).name
+        model_name = model_name_of(syn_dir)
         csv_path = Path(args.out).parent / f"score_{model_name}.csv"
         with open(csv_path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=["file"] + metric_keys)
