@@ -31,11 +31,16 @@ def main():
 
     import jax
     jax.config.update("jax_platforms", "cpu")
-    try:  # persistent compile cache: reruns of this worker skip XLA compile
+    try:  # persistent compile cache: reruns of this worker skip XLA compile.
+        # CPU entries live in their own dir (.jax_cache_cpu): XLA:CPU AOT
+        # results embed host machine features, and entries written on a
+        # different host make every lookup load-and-reject (slow enough to
+        # blow the 30 s gloo context-init deadline) or risk SIGILL.
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(repo, ".jax_cache"))
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(repo, ".jax_cache_cpu"))
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
@@ -72,6 +77,19 @@ def main():
     step = make_forward_train_step(model, tx, max_frames=20)
 
     mesh = make_mesh(("data",))
+    if args.num_processes > 1:
+        # establish the cross-process gloo communicator with a trivial psum
+        # BEFORE the train-step compile: context init has a 30 s key-exchange
+        # deadline, and a process still compiling while its peer executes
+        # would blow it (the communicator is cached per process group)
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        warm = jax.jit(shard_map(lambda x: jax.lax.psum(x, "data"),
+                                 mesh=mesh, in_specs=P("data"),
+                                 out_specs=P()))
+        vec = shard_batch(local_shard(
+            jnp.ones((jax.device_count(),), jnp.float32)), mesh)
+        jax.block_until_ready(warm(vec))
     state = replicate(TrainState.create(variables, tx), mesh)
     batch = shard_batch(local_shard((mel, phon, durs)), mesh)
     state, metrics = step(state, batch, key)

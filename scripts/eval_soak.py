@@ -40,7 +40,6 @@ def main():
     from etts.data.audio_io import load_wav, save_wav
     from etts.evalsuite.metrics import compute_all_metrics
 
-    cfg_dir = Path(args.config)
     out_dir = Path(args.out_dir)
     (out_dir / "syn").mkdir(parents=True, exist_ok=True)
 
@@ -48,6 +47,9 @@ def main():
                          checkpoint=args.checkpoint,
                          model_kind=args.model_kind)
     sr = tts.config["sampling_rate"]
+    # corpus files live where the config's data_directory points (the config
+    # dir itself when unset) -- a config dir may hold only the yamls
+    cfg_dir = Path(tts.config.get("data_directory") or args.config)
     print(f"restored checkpoint step {tts.step}")
 
     vocoder = None

@@ -92,8 +92,11 @@ def main():
             ckpt.save_state(step + 1, state)
         if val_dataset is not None and \
                 (step + 1) % config.get("prediction_frequency", 10000) == 0:
+            # disjoint rng stream from the train steps (fold_in rejects
+            # negative ints: uint32 folds only)
             vm, out = val_step(state, val_dataset.next_batch(),
-                               jax.random.fold_in(key, -step))
+                               jax.random.fold_in(
+                                   jax.random.fold_in(key, 0x76616C), step))
             summary.add_scalar("val/loss", float(vm["loss"]), step=step)
             summary.add_histogram("val/durations",
                                   np.asarray(out["duration"]), step=step)

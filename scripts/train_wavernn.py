@@ -124,7 +124,10 @@ def main():
                                target=config.get("voc_target", 11000),
                                overlap=config.get("voc_overlap", 550),
                                mu_law=config.get("mu_law", True),
-                               key=jax.random.fold_in(key, -k))
+                               # disjoint from the train stream; fold_in
+                               # rejects negative ints (uint32 folds only)
+                               key=jax.random.fold_in(
+                                   jax.random.fold_in(key, 0x67656E), k))
                 out = cm.log_dir / f"gen_{step + 1}_{k}.wav"
                 save_wav(np.asarray(wav), out, config["sampling_rate"])
     print("Done.")
