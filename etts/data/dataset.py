@@ -50,6 +50,8 @@ class DataPrepper:
     (`data_handling.py:86-108`): start vector +0.5 prepended, end vector -0.5
     appended, stop-prob 2 at the final frame, dummy [inf] when no speaker."""
 
+    may_drop = False  # never returns None -> Dataset.seek can fast-forward
+
     def __init__(self, config: dict, tokenizer):
         self.start_vec = np.ones((1, config["mel_channels"])) * config["mel_start_value"]
         self.end_vec = np.ones((1, config["mel_channels"])) * config["mel_end_value"]
@@ -78,6 +80,10 @@ class ForwardDataPrepper:
 
     def __init__(self, max_frames: Optional[int] = None):
         self.max_frames = max_frames
+
+    @property
+    def may_drop(self):
+        return self.max_frames is not None
 
     def __call__(self, sample):
         mel, tokens, durations = np.load(str(sample), allow_pickle=True)
@@ -153,13 +159,19 @@ class Dataset:
                 _pad_batch(tokens, self.pad_text_multiple),
                 _pad_batch(durs, self.pad_text_multiple))
 
-    def _one_epoch(self):
+    def _one_epoch(self, skip_batches: int = 0):
         samples = self._samples[:]
         if self.shuffle:
             self._random.shuffle(samples)
         if self.bucket_by_length:
-            yield from self._bucketed_epoch(samples)
+            it = self._bucketed_epoch(samples)
+            for _ in range(skip_batches):  # data-dependent sort -> replay
+                next(it, None)
+            yield from it
             return
+        if skip_batches:
+            # batch k is samples[k*bs:(k+1)*bs]: skipping needs no loads
+            samples = samples[skip_batches * self.batch_size:]
         buf = []
         for s in samples:
             item = self.preprocessor(s)
@@ -188,9 +200,62 @@ class Dataset:
             for b in batches:
                 yield self._collate(b)
 
-    def _infinite_iter(self):
+    def _infinite_iter(self, skip_batches: int = 0):
         while True:
-            yield from self._one_epoch()
+            yield from self._one_epoch(skip_batches)
+            skip_batches = 0
+
+    def batches_per_epoch(self) -> Optional[int]:
+        """Deterministic epoch batch count, or None when it depends on data
+        (a drop-prone preprocessor makes batch composition data-dependent)."""
+        if getattr(self.preprocessor, "may_drop", True):
+            return None
+        n, bs = len(self._samples), self.batch_size
+        if not self.bucket_by_length:
+            e = n // bs
+            return e if self.drop_remainder else -(-n // bs)
+        group_n = bs * self.bucket_groups
+        total = 0
+        for g in range(0, n, group_n):
+            gl = min(group_n, n - g)
+            total += gl // bs if self.drop_remainder else -(-gl // bs)
+        return total
+
+    def seek(self, n_batches: int):
+        """Fast-forward the infinite stream by ``n_batches`` so a resumed run
+        CONTINUES the data stream where the killed run stopped, instead of
+        replaying it from batch 0 (the reference's tf.data generator restarts
+        too — `data_handling.py:30-39` — so replay-from-0 is parity; this is
+        the TPU-side improvement: no re-exposure to early batches, and no
+        fresh (bucket-shape x current-r) compiles for shapes the original run
+        only ever traced under earlier scheduled r values).
+
+        Cost: skipped whole epochs advance the shuffle rng with same-length
+        dummy shuffles (no sample loads); the in-epoch offset slices the
+        sample list directly (non-bucketed) or replays at most one epoch
+        (bucketing sorts by data-dependent mel length). Drop-prone
+        preprocessors (ForwardDataPrepper with max_frames) replay the full
+        stream — correct, just not O(1)."""
+        if n_batches <= 0:
+            return
+        epoch = self.batches_per_epoch()
+        if epoch is None or epoch == 0:
+            for _ in range(n_batches):
+                self.next_batch()
+            return
+        n_epochs, offset = divmod(n_batches, epoch)
+        dummy = list(range(len(self._samples)))
+        for _ in range(n_epochs):
+            if self.shuffle:
+                self._random.shuffle(dummy)  # same draws as a real epoch
+            if self.bucket_by_length:
+                group_n = self.batch_size * self.bucket_groups
+                for g in range(0, len(self._samples), group_n):
+                    gl = min(group_n, len(self._samples) - g)
+                    nb = (gl // self.batch_size if self.drop_remainder
+                          else -(-gl // self.batch_size))
+                    self._random.shuffle(list(range(nb)))  # batch-order draw
+        self.data_iter = self._infinite_iter(skip_batches=offset)
 
     def next_batch(self):
         return next(self.data_iter)

@@ -90,8 +90,8 @@ def main():
                             config.get("n_samples"))
     prepper = DataPrepper(config, pipeline.tokenizer)
     tts_batch = config.get("tts_batch_size", 8)
-    dataset = Prefetcher(Dataset(samples, prepper, tts_batch,
-                                 mel_channels=config["mel_channels"]))
+    dataset = Dataset(samples, prepper, tts_batch,
+                      mel_channels=config["mel_channels"])
     mine_dataset = None
     if config.get("use_mine"):
         mine_bs = reduction_schedule(0, config["mine_batch_size_schedule"])
@@ -180,6 +180,13 @@ def main():
                    for n in config.get("n_steps_avg_losses", [100])}
     max_steps = args.max_steps or config["max_steps"]
     start_step = int(state.step)
+    if start_step:
+        # resume continues the data stream (no replay of early batches, no
+        # fresh bucket-shape x current-r compiles) — see Dataset.seek
+        dataset.seek(start_step)
+        if mine_dataset is not None and config.get("mine_sep_call"):
+            mine_dataset.seek(start_step)
+    dataset = Prefetcher(dataset)
 
     t = tqdm.trange(start_step, max_steps, initial=start_step,
                     total=max_steps, disable=jax.process_index() != 0)

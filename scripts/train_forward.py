@@ -45,6 +45,11 @@ def main():
     train_files = sorted((cm.train_datadir / "forward_data" / "train").glob("*.npy"))
     val_files = sorted((cm.train_datadir / "forward_data" / "val").glob("*.npy"))
     prepper = ForwardDataPrepper(max_frames=max_frames)
+    # pre-filter over-length samples ONCE so the epoch structure is static:
+    # Dataset.seek can then fast-forward on resume without replaying loads
+    train_files = [f for f in train_files if prepper(f) is not None]
+    val_files = [f for f in val_files if prepper(f) is not None]
+    prepper = ForwardDataPrepper(max_frames=None)
     batch = config.get("tts_batch_size", 16)
     dataset = Dataset(train_files, prepper, batch,
                       mel_channels=config["mel_channels"],
@@ -64,6 +69,7 @@ def main():
     state, rstep = ckpt.restore_state(state)
     if rstep is not None:
         print(f"restored weights at step {rstep}")
+        dataset.seek(int(state.step))  # continue the stream, don't replay
 
     train_step = make_forward_train_step(model, tx, max_frames=max_frames)
     val_step = make_forward_val_step(model, max_frames=max_frames)

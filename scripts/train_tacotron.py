@@ -57,10 +57,12 @@ def main():
     batch_size = config.get("batch_size", 8)
     rng = np.random.default_rng(42)
 
-    def batches():
+    def batches(skip_batches: int = 0):
         while True:
             order = rng.permutation(len(rows))
-            for i in range(0, len(order) - batch_size + 1, batch_size):
+            start = skip_batches * batch_size
+            skip_batches = 0
+            for i in range(start, len(order) - batch_size + 1, batch_size):
                 group = [rows[j] for j in order[i:i + batch_size]]
                 texts = [np.asarray(text_to_sequence(g[3], cleaners),
                                     np.int32) for g in group]
@@ -102,7 +104,14 @@ def main():
         state = replicate(state, mesh)
 
     summary = SummaryManager(model, cm.log_dir, config)
-    it = batches()
+    # resume continues the shuffled sample stream instead of replaying it
+    skip = 0
+    epoch_b = len(rows) // batch_size
+    if int(state.step) and epoch_b:
+        n_epochs, skip = divmod(int(state.step), epoch_b)
+        for _ in range(n_epochs):
+            rng.permutation(len(rows))
+    it = batches(skip)
     t = tqdm.trange(int(state.step), args.max_steps, initial=int(state.step),
                     disable=jax.process_index() != 0,
                     total=args.max_steps)

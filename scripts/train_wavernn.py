@@ -67,10 +67,12 @@ def main():
     seq_len = config.get("voc_seq_len_hops", 5) * config["hop_length"]
     rng = np.random.default_rng(1234)
 
-    def batches():
+    def batches(skip_batches: int = 0):
         while True:
             order = rng.permutation(len(train_set))
-            for i in range(0, len(order) - batch_size + 1, batch_size):
+            start = skip_batches * batch_size
+            skip_batches = 0
+            for i in range(start, len(order) - batch_size + 1, batch_size):
                 items = [train_set[j] for j in order[i:i + batch_size]]
                 yield collate_vocoder(items, seq_len, config["hop_length"],
                                       config.get("voc_pad", 2),
@@ -95,7 +97,16 @@ def main():
     summary = SummaryManager(model, cm.log_dir, config)
     max_steps = args.max_steps or config.get("voc_total_steps", 2_000_000)
     gen_every = config.get("voc_checkpoint_every", 25000)
-    it = batches()
+    # resume continues the shuffled sample stream (skipped whole epochs
+    # advance the permutation rng identically; crop offsets are iid draws,
+    # so their stream needn't be replayed)
+    skip = 0
+    epoch_b = len(train_set) // batch_size
+    if int(state.step) and epoch_b:
+        n_epochs, skip = divmod(int(state.step), epoch_b)
+        for _ in range(n_epochs):
+            rng.permutation(len(train_set))
+    it = batches(skip)
     t = tqdm.trange(int(state.step), max_steps, initial=int(state.step),
                     disable=jax.process_index() != 0,
                     total=max_steps)

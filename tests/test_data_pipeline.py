@@ -67,6 +67,64 @@ class TestDataset:
         for _ in range(10):  # > one epoch of 3 batches
             ds.next_batch()
 
+    @pytest.mark.parametrize("n_skip", [1, 3, 7, 11])
+    def test_seek_matches_consumed_stream(self, tmp_path, n_skip):
+        # seek(n) == consuming n batches: the resumed stream must continue
+        # exactly where the killed run stopped (incl. across epochs; 7
+        # samples / batch 2 -> 3 batches per epoch)
+        ref = self._ds(tmp_path)
+        for _ in range(n_skip):
+            ref.next_batch()
+        ds = self._ds(tmp_path)
+        assert ds.batches_per_epoch() == 3
+        ds.seek(n_skip)
+        for _ in range(4):
+            want, got = ref.next_batch(), ds.next_batch()
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(w, g)
+
+    @pytest.mark.parametrize("n_skip", [2, 5])
+    def test_seek_bucketed(self, tmp_path, n_skip):
+        kw = dict(bucket_by_length=True, bucket_groups=2)
+        ref = self._ds(tmp_path, **kw)
+        for _ in range(n_skip):
+            ref.next_batch()
+        ds = self._ds(tmp_path, **kw)
+        ds.seek(n_skip)
+        for _ in range(4):
+            want, got = ref.next_batch(), ds.next_batch()
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(w, g)
+
+    def test_seek_drop_prone_replays(self, tmp_path):
+        # a drop-prone preprocessor has no static epoch structure: seek must
+        # still produce the stream-continuation semantics (replay path)
+        from etts.data import ForwardDataPrepper
+        rng = np.random.default_rng(3)
+        files = []
+        for i in range(6):
+            mel = rng.standard_normal((20 + 30 * i, 8)).astype(np.float32)
+            tok = np.arange(4 + i, dtype=np.int32)
+            dur = np.ones(4 + i, np.float32)
+            f = tmp_path / f"fwd{i}.npy"
+            np.save(f, np.array([mel, tok, dur], dtype=object),
+                    allow_pickle=True)
+            files.append(f)
+        prep = ForwardDataPrepper(max_frames=120)  # drops the longest mels
+        assert prep.may_drop
+        mk = lambda: Dataset(files, prep, batch_size=2, mel_channels=8,
+                             pad_mel_multiple=128)
+        assert mk().batches_per_epoch() is None
+        ref = mk()
+        for _ in range(3):
+            ref.next_batch()
+        ds = mk()
+        ds.seek(3)
+        for _ in range(3):
+            want, got = ref.next_batch(), ds.next_batch()
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(w, g)
+
     def test_change_batches(self, tmp_path):
         ds = self._ds(tmp_path)
         ds.change_batches(3)
