@@ -147,8 +147,12 @@ def _device_time(stage, key, iters: int, n_trials: int = 4) -> float:
         def chained(k):
             def body(i, acc):
                 out = stage(jax.random.fold_in(k, i))
-                leaves = jax.tree_util.tree_leaves(out)
-                return acc + jnp.sum(leaves[0]).astype(jnp.float32)
+                # force EVERY leaf: independently-computed outputs (e.g. the
+                # per-utterance finalize calls of a batched serve) would
+                # otherwise be dead-code-eliminated and under-timed
+                return acc + sum(
+                    jnp.sum(leaf).astype(jnp.float32)
+                    for leaf in jax.tree_util.tree_leaves(out))
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         return jax.jit(chained)
 

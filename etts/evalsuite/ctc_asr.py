@@ -217,11 +217,18 @@ class CTCTranscriber:
         bucket = 1 << max(12, int(n_real - 1).bit_length())
         wav = np.pad(wav, (0, bucket - n_real))
         hop = max(1, int(self.sr * 0.010))
+        real_frames = max(1, n_real // hop)
         with jax.default_device(self._cpu):
             mel = _log_mel(wav, self.sr, self.n_mels,
-                           stat_frames=max(1, n_real // hop))
+                           stat_frames=real_frames)
             logits = self._jit(mel[None])[0]
-        return greedy_decode(np.asarray(logits))
+        # decode only the real-frame region: training masks the pad tail out
+        # of the CTC loss, so the model's outputs there are untrained and
+        # would append garbage to the hypothesis (same out_lens formula as
+        # the trainer's logit paddings)
+        out_frames = int(np.ceil(real_frames
+                                 / (mel.shape[0] / logits.shape[0])))
+        return greedy_decode(np.asarray(logits[:out_frames]))
 
 
 def save_ckpt(path: str, params, sr: int, n_mels: int, hidden: int):

@@ -64,16 +64,22 @@ def _transcribe_wav2vec2(wav, sr_hz):
                 name, local_files_only=True).eval()
     except Exception:  # noqa: BLE001 — no package or no cached weights
         return None
-    proc, model = _W2V2["proc"], _W2V2["model"]
-    if sr_hz != 16000:
-        from scipy.signal import resample_poly
-        wav = resample_poly(np.asarray(wav, np.float64), 16000, sr_hz)
-    inputs = proc(np.asarray(wav, np.float32), sampling_rate=16000,
-                  return_tensors="pt")
-    with torch.no_grad():
-        logits = model(inputs.input_values).logits
-    ids = logits.argmax(-1)[0]
-    return proc.decode(ids)
+    try:
+        proc, model = _W2V2["proc"], _W2V2["model"]
+        if sr_hz != 16000:
+            from scipy.signal import resample_poly
+            wav = resample_poly(np.asarray(wav, np.float64), 16000, sr_hz)
+        inputs = proc(np.asarray(wav, np.float32), sampling_rate=16000,
+                      return_tensors="pt")
+        with torch.no_grad():
+            logits = model(inputs.input_values).logits
+        ids = logits.argmax(-1)[0]
+        return proc.decode(ids)
+    except Exception:  # noqa: BLE001 — degenerate input (e.g. shorter than
+        # the conv receptive field) must not escape: transcribe() contracts
+        # to return None so callers fall through to the next backend instead
+        # of zeroing every metric for the pair (objective_measure catch-all)
+        return None
 
 
 def transcribe(wav_path: str):

@@ -86,13 +86,31 @@ def main():
                    "WER_syn", "WER_ori"]
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
 
+    def _model_names(dirs):
+        """Disambiguate generic leaf names (".../curve_14000/syn") so two
+        models' per-file CSVs don't overwrite each other: colliding names
+        absorb parent path levels until unique, with an index suffix as the
+        last resort for identical paths."""
+        parts = [[x for x in Path(d).parts if x != os.sep] for d in dirs]
+        names = [p[-1] if p else "syn" for p in parts]
+        depth = 1
+        while len(set(names)) < len(names) and \
+                depth < max(len(p) for p in parts):
+            depth += 1
+            dup = {n for n in names if names.count(n) > 1}
+            names = ["_".join(p[-min(depth, len(p)):]) if n in dup else n
+                     for p, n in zip(parts, names)]
+        seen, out = {}, []
+        for n in names:
+            k = seen.get(n, 0)
+            out.append(n if k == 0 else f"{n}_{k}")
+            seen[n] = k + 1
+        return out
+
+    _names = dict(zip(args.syn_dirs, _model_names(args.syn_dirs)))
+
     def model_name_of(d):
-        # disambiguate generic leaf names (".../curve_14000/syn") so two
-        # models' per-file CSVs don't overwrite each other
-        p = Path(d)
-        names = [Path(x).name for x in args.syn_dirs]
-        return (f"{p.parent.name}_{p.name}"
-                if names.count(p.name) > 1 else p.name)
+        return _names[d]
 
     rows = []
     for syn_dir in args.syn_dirs:

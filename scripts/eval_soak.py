@@ -74,6 +74,9 @@ def main():
             if len(parts) >= 2:
                 rows.append((parts[0], parts[1]))
     rows = rows[:args.n_utts]
+    if not rows:
+        raise SystemExit(f"no held-out 'id|text' rows in "
+                         f"{cfg_dir / 'test_metafile.txt'} (or --n_utts 0)")
 
     transcriber = None
     if args.ctc_ckpt:

@@ -22,6 +22,42 @@ from etts.utils import ConfigManager, CheckpointManager
 from etts.utils.logging import SummaryManager
 
 
+def _filter_overlong(files, max_frames):
+    """Drop triples whose mel exceeds ``max_frames`` (the Expand bucket).
+
+    Frame counts live in a sidecar ``.frame_counts.json`` next to the data
+    (mtime-validated), so only the first launch pays a full corpus read —
+    the triples are pickled object arrays that cannot be header-peeked."""
+    import json
+    import os
+    from pathlib import Path
+    if not files:
+        return files
+    cache_path = Path(files[0]).parent / ".frame_counts.json"
+    try:
+        cache = json.loads(cache_path.read_text())
+    except Exception:  # noqa: BLE001 — absent/corrupt cache: rebuild
+        cache = {}
+    keep, changed = [], False
+    for f in files:
+        name = Path(f).name
+        mtime = os.stat(f).st_mtime_ns
+        ent = cache.get(name)
+        if ent is None or ent[0] != mtime:
+            mel = np.load(str(f), allow_pickle=True)[0]
+            ent = [mtime, int(mel.shape[0])]
+            cache[name] = ent
+            changed = True
+        if ent[1] <= max_frames:
+            keep.append(f)
+    if changed:
+        try:
+            cache_path.write_text(json.dumps(cache))
+        except OSError:
+            pass
+    return keep
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
@@ -44,11 +80,11 @@ def main():
 
     train_files = sorted((cm.train_datadir / "forward_data" / "train").glob("*.npy"))
     val_files = sorted((cm.train_datadir / "forward_data" / "val").glob("*.npy"))
-    prepper = ForwardDataPrepper(max_frames=max_frames)
-    # pre-filter over-length samples ONCE so the epoch structure is static:
-    # Dataset.seek can then fast-forward on resume without replaying loads
-    train_files = [f for f in train_files if prepper(f) is not None]
-    val_files = [f for f in val_files if prepper(f) is not None]
+    # pre-filter over-length samples ONCE so the epoch structure is static
+    # (Dataset.seek can then fast-forward on resume without replaying loads);
+    # frame counts are cached in a sidecar so later launches skip the scan
+    train_files = _filter_overlong(train_files, max_frames)
+    val_files = _filter_overlong(val_files, max_frames)
     prepper = ForwardDataPrepper(max_frames=None)
     batch = config.get("tts_batch_size", 16)
     dataset = Dataset(train_files, prepper, batch,

@@ -65,11 +65,15 @@ def main():
 
     batch_size = args.batch_size or config.get("voc_batch_size", 64)
     seq_len = config.get("voc_seq_len_hops", 5) * config["hop_length"]
-    rng = np.random.default_rng(1234)
+    # separate generators: the permutation stream must be a pure function of
+    # the epoch count so resume can replay it exactly; crop offsets are iid
+    # draws that interleave per batch and need no replay
+    perm_rng = np.random.default_rng(1234)
+    crop_rng = np.random.default_rng(4321)
 
     def batches(skip_batches: int = 0):
         while True:
-            order = rng.permutation(len(train_set))
+            order = perm_rng.permutation(len(train_set))
             start = skip_batches * batch_size
             skip_batches = 0
             for i in range(start, len(order) - batch_size + 1, batch_size):
@@ -77,7 +81,8 @@ def main():
                 yield collate_vocoder(items, seq_len, config["hop_length"],
                                       config.get("voc_pad", 2),
                                       mode=model.mode,
-                                      bits=config.get("bits", 9), rng=rng)
+                                      bits=config.get("bits", 9),
+                                      rng=crop_rng)
 
     from etts.utils.config import _init_variables
     variables = _init_variables(model, config, "wavernn")
@@ -98,14 +103,14 @@ def main():
     max_steps = args.max_steps or config.get("voc_total_steps", 2_000_000)
     gen_every = config.get("voc_checkpoint_every", 25000)
     # resume continues the shuffled sample stream (skipped whole epochs
-    # advance the permutation rng identically; crop offsets are iid draws,
-    # so their stream needn't be replayed)
+    # advance the dedicated permutation rng identically; crop offsets are
+    # iid draws from their own generator, so their stream needn't replay)
     skip = 0
     epoch_b = len(train_set) // batch_size
     if int(state.step) and epoch_b:
         n_epochs, skip = divmod(int(state.step), epoch_b)
         for _ in range(n_epochs):
-            rng.permutation(len(train_set))
+            perm_rng.permutation(len(train_set))
     it = batches(skip)
     t = tqdm.trange(int(state.step), max_steps, initial=int(state.step),
                     disable=jax.process_index() != 0,
