@@ -27,16 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    # CPU runs get their own cache dir: XLA:CPU AOT entries embed host
-    # machine features and go stale when the host changes (TPU entries don't)
-    _cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache_cpu" if _cpu else ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-except Exception:
-    pass
+# CPU runs get a host-fingerprinted cache dir: XLA:CPU AOT entries embed
+# host machine features and go stale when the host changes (TPU entries
+# don't) — see etts.utils.xla_cache
+from etts.utils.xla_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.dirname(os.path.abspath(__file__)),
+                        "cpu" in os.environ.get("JAX_PLATFORMS", "").lower())
 
 
 def _peak_flops() -> float:

@@ -12,23 +12,13 @@ def force_cpu_if_requested():
 
 
 def enable_compilation_cache():
-    """Persistent XLA compile cache shared by all drivers.
-
-    CPU runs get their own dir: XLA:CPU AOT entries embed host machine
-    features, so entries written on a different host poison every lookup
-    (load-and-reject churn, SIGILL risk) while TPU entries stay valid.
-    """
-    import jax
+    """Persistent XLA compile cache shared by all drivers (CPU runs get a
+    host-fingerprinted dir; see etts.utils.xla_cache)."""
+    from etts.utils.xla_cache import enable_persistent_cache
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cpu = (os.environ.get("ETTS_FORCE_CPU")
-           or "cpu" in os.environ.get("JAX_PLATFORMS", "").lower())
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(root, ".jax_cache_cpu" if cpu
-                                       else ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    cpu = bool(os.environ.get("ETTS_FORCE_CPU")
+               or "cpu" in os.environ.get("JAX_PLATFORMS", "").lower())
+    enable_persistent_cache(root, cpu)
 
 
 force_cpu_if_requested()
