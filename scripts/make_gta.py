@@ -28,11 +28,16 @@ def main():
     parser.add_argument("--voc_data", type=str, required=True,
                         help="vocoder dataset dir (gta/ is created inside)")
     parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint step dir (default: latest) — GTA "
+                        "should use the BEST free-running checkpoint, not "
+                        "the last (exposure bias, SOAK_NOTES.md)")
     args = parser.parse_args()
 
     cm = ConfigManager(args.config, "autoregressive", args.session_name)
     config = cm.config
-    model, variables, step, sched = cm.load_model()
+    model, variables, step, sched = cm.load_model(
+        checkpoint_path=args.checkpoint)
     r = sched.get("reduction_factor", 1)
     pipeline = cm.get_text_pipeline()
     prepper = DataPrepper(config, pipeline.tokenizer)
@@ -43,10 +48,18 @@ def main():
 
     gta_dir = Path(args.voc_data) / "gta"
     gta_dir.mkdir(parents=True, exist_ok=True)
+    # speaker-conditioned models need their d-vectors teacher-forced too
+    # (same contract as the training driver)
+    spk_dir = (cm.train_datadir / "spk_embeds"
+               if model.has_speaker else None)
+    if spk_dir is not None and not spk_dir.exists():
+        raise FileNotFoundError(
+            f"system_type={config['system_type']!r} needs speaker embeddings "
+            f"in {spk_dir}; none found")
     n = 0
     for split in ("train_metafile.txt", "test_metafile.txt"):
         samples, _ = load_files(cm.train_datadir / split,
-                                cm.train_datadir / "mels", None)
+                                cm.train_datadir / "mels", spk_dir)
         ids = [Path(s[2]).stem for s in samples]
         ds = Dataset(samples, prepper, args.batch_size, shuffle=False,
                      drop_remainder=False, mel_channels=config["mel_channels"])
