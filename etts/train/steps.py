@@ -244,13 +244,10 @@ def make_autoregressive_val_step(model: AutoregressiveTransformer, *,
     return step
 
 
-def make_mine_update(mine_model, tx, kind: str = "MINE"):
-    """One MI net's gradient-ascent update (traning_steps.py:77-82).
+def _mine_update_core(mine_model, tx, kind: str = "MINE"):
+    """Un-jitted body of one MI net's gradient-ascent update
+    (traning_steps.py:77-82); see make_mine_update / make_mine_zoo_update."""
 
-    Returns step(mine_state, text_enc_out, gst_out, spk, mi_state, rng) ->
-    (new_mine_state, mi_value, new_exp_terms)."""
-
-    @jax.jit
     def step(state, text_enc_out, gst_out, spk, mi_state: MIState, rng):
         def loss_fn(params):
             if kind == "CLUB":
@@ -269,6 +266,45 @@ def make_mine_update(mine_model, tx, kind: str = "MINE"):
             params=jax.tree.map(lambda p, u: p + u, state.params, updates),
             opt_state=opt_state, step=state.step + 1)
         return new_state, mi, terms
+
+    return step
+
+
+def make_mine_update(mine_model, tx, kind: str = "MINE"):
+    """One MI net's gradient-ascent update (traning_steps.py:77-82).
+
+    Returns step(mine_state, text_enc_out, gst_out, spk, mi_state, rng) ->
+    (new_mine_state, mi_value, new_exp_terms)."""
+    return jax.jit(_mine_update_core(mine_model, tx, kind))
+
+
+def make_mine_zoo_update(nets, tx):
+    """The WHOLE MINE zoo's updates fused into one jitted dispatch.
+
+    ``nets`` is the driver's ``[(kind, net), ...]`` zoo. The per-net update
+    subgraphs are independent, so XLA schedules them concurrently and the
+    driver pays one dispatch per step instead of one per net — and the MI
+    scalars come back as a stacked device array, so the host can defer the
+    ``float()`` sync to the metrics cadence instead of blocking on every
+    net every step.
+
+    Reference-parity quirks kept: ``mi_total`` is the SUM over nets and the
+    LAST net's exp_terms become the carried state, exactly as the eager loop
+    in `traning_steps.py:59-84` leaves `mi_holder`.
+
+    Returns step(states, text_enc_out, gst_out, spk, mi_state, rngs) ->
+    (new_states, mis (n,), last_terms) where ``rngs`` is one key per net."""
+    cores = [_mine_update_core(net, tx, kind) for kind, net in nets]
+
+    @jax.jit
+    def step(states, text_enc_out, gst_out, spk, mi_state: MIState, rngs):
+        new_states, mis, terms = [], [], mi_state.exp_terms
+        for i, core in enumerate(cores):
+            ns, mi, terms = core(states[i], text_enc_out, gst_out, spk,
+                                 mi_state, rngs[i])
+            new_states.append(ns)
+            mis.append(mi)
+        return new_states, jnp.stack(mis), terms
 
     return step
 

@@ -24,7 +24,7 @@ from etts.parallel import (make_mesh, shard_batch, replicate,
                            local_shard, add_multihost_args,
                            maybe_init_multihost)
 from etts.train import (TrainState, make_optimizer,
-                        make_autoregressive_train_step, make_mine_update)
+                        make_autoregressive_train_step, make_mine_zoo_update)
 from etts.utils import ConfigManager, CheckpointManager
 from etts.utils.display import ValueWindow
 from etts.utils.logging import SummaryManager
@@ -32,7 +32,12 @@ from etts.utils.scheduling import piecewise_linear_schedule, reduction_schedule
 
 
 def build_mine_zoo(config, key, text_dim, style_dim, spk_dim):
-    """MINE/CLUB nets per pair type (`train_autoregressive.py:69-102`)."""
+    """MINE/CLUB nets per pair type (`train_autoregressive.py:69-102`).
+
+    CLUB's variational net predicts the pair's TARGET embedding, so its
+    out_dim must match that embedding's width (text enc dim for style_text,
+    the d-vector dim otherwise) — the reference never varies these from 256,
+    which masked the coupling."""
     nets = []
     mine_type = config.get("mine_type", "MINE")
     for pair in config["mine_pair_types"]:
@@ -45,7 +50,9 @@ def build_mine_zoo(config, key, text_dim, style_dim, spk_dim):
                                       conv_filters=tuple(config["mine_conv_filters"]),
                                       conv_kernel=config["mine_conv_kernel"])))
         if mine_type in ("CLUB", "MINE_CLUB"):
+            out_dim = text_dim if pair == "style_text" else spk_dim
             nets.append(("CLUB", CLUB(pair_type=pair,
+                                      out_dim=out_dim,
                                       dense_hidden_units=tuple(
                                           config["mine_dense_hidden_units"]))))
     return nets
@@ -122,17 +129,23 @@ def main():
         print(f"restored TTS weights at step {rstep}")
 
     # MINE zoo -----------------------------------------------------------------
-    mine_nets, mine_states, mine_steps, mine_ckpts = [], [], [], []
+    mine_nets, mine_states, mine_ckpts = [], [], []
     mi_state = MIState.create(
         n_beta=len(config.get("mine_beta_values", [0])),
         smoothing_factor=config.get("mine_smoothing_factor", 1.0),
         weight_factor=config.get("mine_weight_factor", 0.1))
     if config.get("use_mine"):
-        dummy_text = jnp.zeros((4, 8, config["encoder_model_dimension"]))
-        dummy_style = jnp.zeros((4, 1, config["gst_style_embed_dim"]))
-        dummy_spk = jnp.zeros((4, 1, 256))
+        text_dim = config["encoder_model_dimension"]
+        style_dim = config["gst_style_embed_dim"]
+        # d-vector width comes from the data, not a constant: the reference
+        # hardcodes 256 (GE2E), but any precomputed embedding is legal here
+        spk_dim = (int(np.load(samples[0][3]).shape[-1])
+                   if model.has_speaker else 1)
+        dummy_text = jnp.zeros((4, 8, text_dim))
+        dummy_style = jnp.zeros((4, 1, style_dim))
+        dummy_spk = jnp.zeros((4, 1, spk_dim))
         mine_tx = make_optimizer(config["learning_rate_mine_schedule"])
-        mine_nets = build_mine_zoo(config, key, None, None, None)
+        mine_nets = build_mine_zoo(config, key, text_dim, style_dim, spk_dim)
         for i, (kind, net) in enumerate(mine_nets):
             vars_i = net.init(jax.random.fold_in(key, 100 + i), dummy_text,
                               dummy_style, dummy_spk, mi_state, key)
@@ -140,8 +153,10 @@ def main():
             mngr = CheckpointManager(cm.mine_weights_dir[i])
             st, rs = mngr.restore_state(st)
             mine_states.append(st)
-            mine_steps.append(make_mine_update(net, mine_tx, kind=kind))
             mine_ckpts.append(mngr)
+        # all net updates fused into ONE dispatch (independent subgraphs
+        # schedule concurrently; MI scalars sync on the metrics cadence)
+        mine_zoo_step = make_mine_zoo_update(mine_nets, mine_tx)
 
     # train step ---------------------------------------------------------------
     # opt-in research mode: compute MI inside the TTS tape so the adversarial
@@ -225,16 +240,14 @@ def main():
                 text_out, gst_out = aux["text_enc_output"], aux["gst_output"]
                 spk_for_mine = (batch[3][:, None, :] if model.has_speaker
                                 else jnp.zeros((text_out.shape[0], 1, 1)))
-            mi_total = jnp.zeros(())
-            terms = mi_state.exp_terms
-            for i, step_fn in enumerate(mine_steps):
-                mine_states[i], mi, terms = step_fn(
-                    mine_states[i], text_out, gst_out, spk_for_mine, mi_state,
-                    jax.random.fold_in(key, 7919 * (step + 1) + i))
-                mi_total = mi_total + mi
-                summary.add_scalar(f"mi/{mine_nets[i][0]}_{i}", float(mi),
-                                   step=step)
-            mi_state = mi_state.replace(mi_loss=mi_total, exp_terms=terms)
+            rngs = tuple(jax.random.fold_in(key, 7919 * (step + 1) + i)
+                         for i in range(len(mine_nets)))
+            mine_states, mi_vals, terms = mine_zoo_step(
+                mine_states, text_out, gst_out, spk_for_mine, mi_state, rngs)
+            # sum over nets; LAST net's exp_terms carry (reference parity,
+            # traning_steps.py:84)
+            mi_state = mi_state.replace(mi_loss=jnp.sum(mi_vals),
+                                        exp_terms=terms)
             # MINE batch size schedule
             new_bs = reduction_schedule(step, config["mine_batch_size_schedule"])
             if mine_dataset is not None and new_bs != mine_dataset.batch_size:
@@ -261,6 +274,12 @@ def main():
             summary.add_scalar("meta/reduction_factor", r, step=step)
             summary.add_scalar("meta/prenet_dropout", prenet_dropout,
                                step=step)
+            if config.get("use_mine"):
+                # MI scalars sync here (not per step): each float() is a
+                # host<->device round trip
+                for i, mv in enumerate(np.asarray(mi_vals)):
+                    summary.add_scalar(f"mi/{mine_nets[i][0]}_{i}",
+                                       float(mv), step=step)
         if args.profile_dir and step == start_step + 10:
             jax.profiler.start_trace(args.profile_dir)
         if args.profile_dir and step == start_step + 30:

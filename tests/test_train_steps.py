@@ -196,6 +196,47 @@ class TestAutoregressiveTraining:
             mi_state = mi_state.replace(mi_loss=mi, exp_terms=terms)
         assert np.isfinite(float(mi_state.mi_loss))
 
+    def test_mine_zoo_update_matches_per_net(self):
+        """Fused zoo dispatch == sequential per-net updates, bit-exactly
+        (incl. the reference's last-net-exp_terms carry)."""
+        from etts.train import make_mine_zoo_update
+        from etts.models.mine import CLUB
+        model, state, step, batch, _ = self._setup()
+        key = jax.random.PRNGKey(11)
+        nets = [("MINE", MINE(pair_type="style_text", divergence_type="KL",
+                              dense_hidden_units=(16,))),
+                ("CLUB", CLUB(pair_type="style_text",
+                              dense_hidden_units=(16,), out_dim=32))]
+        mi_state = MIState.create(nets[0][1].n_beta, weight_factor=0.1)
+        _, _, aux = step(state, batch, mi_state.mi_loss, key, r=5)
+        text, gst = aux["text_enc_output"], aux["gst_output"]
+        spk = batch[3][:, None, :]
+        mine_tx = make_optimizer([[0, 1e-4]])
+        states = [TrainState.create(
+            net.init(jax.random.fold_in(key, 100 + i), text, gst, spk,
+                     mi_state, key), mine_tx) for i, (_, net) in
+            enumerate(nets)]
+        rngs = tuple(jax.random.fold_in(key, 7919 + i)
+                     for i in range(len(nets)))
+
+        # reference path: one dispatch per net, last terms win
+        want_states, want_mis, terms = [], [], mi_state.exp_terms
+        for i, (kind, net) in enumerate(nets):
+            st, mi, terms = make_mine_update(net, mine_tx, kind=kind)(
+                states[i], text, gst, spk, mi_state, rngs[i])
+            want_states.append(st)
+            want_mis.append(mi)
+
+        zoo = make_mine_zoo_update(nets, mine_tx)
+        got_states, got_mis, got_terms = zoo(states, text, gst, spk,
+                                             mi_state, rngs)
+        np.testing.assert_array_equal(np.asarray(got_mis),
+                                      np.asarray(want_mis))
+        np.testing.assert_array_equal(np.asarray(got_terms),
+                                      np.asarray(terms))
+        for ws, gs in zip(want_states, got_states):
+            jax.tree.map(np.testing.assert_array_equal, ws.params, gs.params)
+
 
 class TestWaveRNNTraining:
     def test_loss_decreases(self):
