@@ -226,6 +226,91 @@ def _bench_train(dtype, b=8):
     return dt, _mfu(flops, dt)
 
 
+def _bench_train_mine(b=8):
+    """Device time of the FULL reference recipe step at batch ``b``: the
+    TTS update plus the fused MINE_CLUB zoo (6 nets over 3 pairs,
+    make_mine_zoo_update) in one chained program — the cost the reference
+    pays as 1 TTS dispatch + 6 eager per-net tapes per step
+    (`traning_steps.py:16-95`)."""
+    from etts.models.autoregressive import AutoregressiveTransformer
+    from etts.models.mine import MINE, CLUB, MIState
+    from etts.train import (TrainState, make_optimizer,
+                            make_autoregressive_train_step,
+                            make_mine_zoo_update)
+    MEL_C, D, SPK = 80, 256, 256
+    m = AutoregressiveTransformer(system_type="speaker_style_text",
+                                  mel_channels=MEL_C, vocab_size=130,
+                                  max_r=10, dtype=jnp.bfloat16)
+    t_mel, t_txt = 384, 64
+    kb = jax.random.PRNGKey(17)
+    tmel = jax.random.normal(kb, (b, t_mel, MEL_C)) * 0.5
+    tmel = tmel.at[:, 0].set(0.5).at[:, -1].set(-0.5)
+    phon = jax.random.randint(kb, (b, t_txt), 1, 130)
+    stop = jnp.ones((b, t_mel), jnp.int32).at[:, -1].set(2)
+    spk_b = jax.random.normal(kb, (b, SPK))
+    variables = m.init({"params": kb, "dropout": kb, "prenet": kb},
+                       phon, tmel, spk_b[:, None, :], r=1)
+    tx = make_optimizer([[0, 1e-4]])
+    state = TrainState.create(variables, tx)
+    step = make_autoregressive_train_step(m, tx)
+    batch = (tmel, phon, stop, spk_b)
+    kwargs = dict(r=1, prenet_dropout=0.5, drop_n_heads=0)
+
+    nets = []
+    for pair in ("style_text", "style_speaker", "text_speaker"):
+        nets.append(("MINE", MINE(pair_type=pair, divergence_type="KL",
+                                  beta_values=(0, 0.5, 1))))
+        nets.append(("CLUB", CLUB(pair_type=pair,
+                                  out_dim=D if pair == "style_text"
+                                  else SPK)))
+    mi_state = MIState.create(3)
+    mine_tx = make_optimizer([[0, 1e-5]])
+    dummy_t = jnp.zeros((b, 8, D))
+    dummy_s = jnp.zeros((b, 1, D))
+    dummy_k = jnp.zeros((b, 1, SPK))
+    mstates = tuple(
+        TrainState.create(net.init(jax.random.fold_in(kb, 100 + i), dummy_t,
+                                   dummy_s, dummy_k, mi_state, kb), mine_tx)
+        for i, (_, net) in enumerate(nets))
+    zoo = make_mine_zoo_update(nets, mine_tx)
+
+    def joint(carry, k):
+        st, ms, mist = carry
+        st, _, aux = step(st, batch, mist.mi_loss, k, **kwargs)
+        rngs = tuple(jax.random.fold_in(k, i) for i in range(len(nets)))
+        ms, mis, terms = zoo(ms, aux["text_enc_output"], aux["gst_output"],
+                             spk_b[:, None, :], mist, rngs)
+        return st, tuple(ms), mist.replace(mi_loss=jnp.sum(mis),
+                                           exp_terms=terms)
+
+    carry = (state, mstates, mi_state)
+    for _ in range(2):
+        carry = joint(carry, kb)
+    jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+
+    def make(n):
+        def steps_n(c, k):
+            def body(i, cc):
+                return joint(cc, jax.random.fold_in(k, i))
+            return jax.lax.fori_loop(0, n, body, c)
+        return jax.jit(steps_n)
+
+    N = 8
+    f1, f2 = make(N), make(2 * N)
+    jax.block_until_ready(jax.tree_util.tree_leaves(f1(carry, kb))[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(f2(carry, kb))[0])
+    b1 = b2 = float("inf")
+    for trial in range(3):
+        k = jax.random.fold_in(kb, trial)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.tree_util.tree_leaves(f1(carry, k))[0])
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.tree_util.tree_leaves(f2(carry, k))[0])
+        b2 = min(b2, time.perf_counter() - t0)
+    return max(b2 - b1, 1e-9) / N
+
+
 def train_curve():
     """bf16 train-step throughput scaling curve over batch size (ROADMAP #6:
     find the MFU knee now that per-step truth is ~3 ms). One JSON line."""
@@ -235,6 +320,9 @@ def train_curve():
         points[f"b{b}"] = {"step_ms": round(dt * 1e3, 2),
                            "samples_per_sec": round(b / dt, 1),
                            "mfu": round(mfu, 4)}
+    dt_mine = _bench_train_mine(b=8)
+    points["b8_with_mine_zoo"] = {"step_ms": round(dt_mine * 1e3, 2),
+                                  "samples_per_sec": round(8 / dt_mine, 1)}
     best = max(points.values(), key=lambda p: p["samples_per_sec"])
     print(json.dumps({"metric": "train_samples_per_sec_best",
                       "value": best["samples_per_sec"],
