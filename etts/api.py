@@ -239,8 +239,12 @@ class VocoderSynthesizer:
                           "batch_stats": tree["batch_stats"]}
 
     def generate(self, mel, batched=None, target=None, overlap=None,
-                 mu_law=None, key=None):
-        """mel: (t, n_mels) in WaveRNN's [0, 1] convention -> waveform."""
+                 mu_law=None, key=None, int8_weights=None):
+        """mel: (t, n_mels) in WaveRNN's [0, 1] convention -> waveform.
+
+        ``int8_weights=True`` streams per-column-quantized kernel weights
+        (f32 accumulate) — ~half the VMEM weight traffic that floors the
+        sample-step time; config default key ``voc_int8_weights``."""
         from .models.wavernn import generate as _generate
         c = self.config
         return np.asarray(_generate(
@@ -249,10 +253,10 @@ class VocoderSynthesizer:
             target=c.get("voc_target", 11000) if target is None else target,
             overlap=c.get("voc_overlap", 550) if overlap is None else overlap,
             mu_law=c.get("mu_law", True) if mu_law is None else mu_law,
-            key=key))
+            key=key, int8_weights=self._int8(int8_weights)))
 
     def generate_many(self, mels, target=None, overlap=None, mu_law=None,
-                      key=None):
+                      key=None, int8_weights=None):
         """Vocode a list of mels in ONE sequential pass (serving throughput;
         all utterances' fold rows share the sample loop)."""
         from .models.wavernn import generate_batch
@@ -262,8 +266,13 @@ class VocoderSynthesizer:
             target=c.get("voc_target", 11000) if target is None else target,
             overlap=c.get("voc_overlap", 550) if overlap is None else overlap,
             mu_law=c.get("mu_law", True) if mu_law is None else mu_law,
-            key=key)
+            key=key, int8_weights=self._int8(int8_weights))
         return [np.asarray(w) for w in wavs]
+
+    def _int8(self, override):
+        if override is not None:
+            return bool(override)
+        return bool(self.config.get("voc_int8_weights", False))
 
 
 class TacotronSynthesizer:

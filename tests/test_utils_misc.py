@@ -55,3 +55,25 @@ class TestInfolog:
         infolog._slack_url = "http://127.0.0.1:9/unreachable"
         infolog._run_name = "x"
         infolog._send_slack("msg")  # no exception
+
+
+class TestXlaCacheWiring:
+    def test_fingerprint_stable_and_short(self):
+        from etts.utils.xla_cache import _host_fingerprint
+        a, b = _host_fingerprint(), _host_fingerprint()
+        assert a == b and len(a) == 8 and all(c in "0123456789abcdef"
+                                              for c in a)
+
+    def test_cpu_dir_is_fingerprinted_tpu_dir_is_shared(self, tmp_path):
+        import jax
+        from etts.utils.xla_cache import (_host_fingerprint,
+                                          enable_persistent_cache)
+        old = jax.config.jax_compilation_cache_dir
+        try:
+            # conftest forces jax_platforms=cpu, so even cpu=False resolves
+            # to the fingerprinted dir (forced-CPU override path)
+            enable_persistent_cache(str(tmp_path), cpu=True)
+            assert jax.config.jax_compilation_cache_dir == str(
+                tmp_path / f".jax_cache_cpu_{_host_fingerprint()}")
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
