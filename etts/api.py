@@ -203,7 +203,7 @@ class TTSSynthesizer:
 
     def stream(self, text, vocoder: "VocoderSynthesizer", ref_mel=None,
                spk_embed=None, *, mel_chunk: int = 40, max_length: int = 1000,
-               key=None):
+               key=None, int8_weights=None):
         """Yield waveform chunks end to end (text -> streamed audio).
 
         Applies the (mel+4)/8 vocoder contract between the stages; first
@@ -214,7 +214,8 @@ class TTSSynthesizer:
             self.model, self.variables, vocoder.model, vocoder.variables,
             inp, ref, spk, r=self.r, max_length=max_length,
             mel_chunk=mel_chunk, prenet_dropout=self.prenet_dropout,
-            mu_law=vocoder.config.get("mu_law", True), key=key)
+            mu_law=vocoder.config.get("mu_law", True), key=key,
+            int8_weights=vocoder._int8(int8_weights))
 
 
 class VocoderSynthesizer:

@@ -35,6 +35,8 @@ def main():
                         help="speaker d-vector .npy (required for "
                              "speaker-conditioned system_types)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 vocoder kernel weights (halves the VMEM weight stream)")
     args = parser.parse_args()
 
     import jax
@@ -80,7 +82,7 @@ def main():
             mel = out["mel"]  # (t, n_mels) in [-4, 4]
             if voc is not None:
                 voc_mel = (mel + 4.0) / 8.0  # vocoder contract (:54)
-                wav = voc.generate(voc_mel)
+                wav = voc.generate(voc_mel, int8_weights=args.int8 or None)
             else:
                 wav = np.asarray(
                     tts.audio.reconstruct_waveform(mel.T, n_iter=32))

@@ -53,6 +53,8 @@ def main():
     parser.add_argument("--out_dir", type=str, default="synth_speaker_out")
     parser.add_argument("--max_length", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 vocoder kernel weights (halves the VMEM weight stream)")
     args = parser.parse_args()
 
     import jax
@@ -107,7 +109,8 @@ def main():
                                   key=jax.random.PRNGKey(args.seed + i))
                 mel = out["mel"]
                 if voc is not None:
-                    wav = voc.generate((mel + 4.0) / 8.0)
+                    wav = voc.generate((mel + 4.0) / 8.0,
+                                       int8_weights=args.int8 or None)
                 else:
                     wav = np.asarray(tts.audio.reconstruct_waveform(mel.T))
                 name = f"{text_id}__{style_id}__{spk_id}"
