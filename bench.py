@@ -168,6 +168,32 @@ def _device_time(stage, key, iters: int, n_trials: int = 4) -> float:
     return max(b2 - b1, 1e-9) / iters
 
 
+def _two_point_carry_time(step1, carry, key, N=8, trials=3):
+    """Per-step device time of a carry-threading step fn, tunnel-proof:
+    `step1(carry, key_i) -> carry` chained N vs 2N times inside one jitted
+    fori_loop; per-step time = (T_2N - T_N)/N (see _device_time)."""
+    def make(n):
+        def steps_n(c, k):
+            def body(i, cc):
+                return step1(cc, jax.random.fold_in(k, i))
+            return jax.lax.fori_loop(0, n, body, c)
+        return jax.jit(steps_n)
+
+    f1, f2 = make(N), make(2 * N)
+    jax.block_until_ready(jax.tree_util.tree_leaves(f1(carry, key))[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(f2(carry, key))[0])
+    b1 = b2 = float("inf")
+    for trial in range(trials):  # interleave so both see the same weather
+        k = jax.random.fold_in(key, trial)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.tree_util.tree_leaves(f1(carry, k))[0])
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.tree_util.tree_leaves(f2(carry, k))[0])
+        b2 = min(b2, time.perf_counter() - t0)
+    return max(b2 - b1, 1e-9) / N
+
+
 def _bench_train(dtype, b=8):
     """Per-step device time + MFU of the reference-scale AR train step at
     batch ``b``: steps chained inside ONE jitted fori_loop (state carried on
@@ -199,29 +225,9 @@ def _bench_train(dtype, b=8):
         state, mtr, _ = step(state, batch, jnp.zeros(()), kb, **kwargs)
     jax.block_until_ready(mtr["loss"])
 
-    def make(n):
-        def steps_n(st, k):
-            def body(i, s):
-                s2, _, _ = step(s, batch, jnp.zeros(()),
-                                jax.random.fold_in(k, i), **kwargs)
-                return s2
-            return jax.lax.fori_loop(0, n, body, st)
-        return jax.jit(steps_n)
-
-    N = 8
-    f1, f2 = make(N), make(2 * N)
-    jax.block_until_ready(jax.tree_util.tree_leaves(f1(state, kb))[0])
-    jax.block_until_ready(jax.tree_util.tree_leaves(f2(state, kb))[0])
-    b1 = b2 = float("inf")
-    for trial in range(3):
-        k = jax.random.fold_in(kb, trial)
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.tree_util.tree_leaves(f1(state, k))[0])
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.tree_util.tree_leaves(f2(state, k))[0])
-        b2 = min(b2, time.perf_counter() - t0)
-    dt = max(b2 - b1, 1e-9) / N
+    dt = _two_point_carry_time(
+        lambda s, k: step(s, batch, jnp.zeros(()), k, **kwargs)[0],
+        state, kb)
     flops = _cost_flops(step, state, batch, jnp.zeros(()), kb, **kwargs)
     return dt, _mfu(flops, dt)
 
@@ -287,28 +293,7 @@ def _bench_train_mine(b=8):
     for _ in range(2):
         carry = joint(carry, kb)
     jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
-
-    def make(n):
-        def steps_n(c, k):
-            def body(i, cc):
-                return joint(cc, jax.random.fold_in(k, i))
-            return jax.lax.fori_loop(0, n, body, c)
-        return jax.jit(steps_n)
-
-    N = 8
-    f1, f2 = make(N), make(2 * N)
-    jax.block_until_ready(jax.tree_util.tree_leaves(f1(carry, kb))[0])
-    jax.block_until_ready(jax.tree_util.tree_leaves(f2(carry, kb))[0])
-    b1 = b2 = float("inf")
-    for trial in range(3):
-        k = jax.random.fold_in(kb, trial)
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.tree_util.tree_leaves(f1(carry, k))[0])
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.tree_util.tree_leaves(f2(carry, k))[0])
-        b2 = min(b2, time.perf_counter() - t0)
-    return max(b2 - b1, 1e-9) / N
+    return _two_point_carry_time(joint, carry, kb)
 
 
 def train_curve():
@@ -323,7 +308,9 @@ def train_curve():
     dt_mine = _bench_train_mine(b=8)
     points["b8_with_mine_zoo"] = {"step_ms": round(dt_mine * 1e3, 2),
                                   "samples_per_sec": round(8 / dt_mine, 1)}
-    best = max(points.values(), key=lambda p: p["samples_per_sec"])
+    # best over the TTS-only curve points (the mine point carries no mfu)
+    best = max((p for p in points.values() if "mfu" in p),
+               key=lambda p: p["samples_per_sec"])
     print(json.dumps({"metric": "train_samples_per_sec_best",
                       "value": best["samples_per_sec"],
                       "unit": "samples/s", "vs_baseline": best["mfu"],

@@ -20,7 +20,24 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 __all__ = ["load_files", "DataPrepper", "ForwardDataPrepper", "Dataset",
-           "VocoderDataset", "collate_vocoder", "pad_to_multiple"]
+           "VocoderDataset", "collate_vocoder", "pad_to_multiple",
+           "fast_forward_permutation"]
+
+
+def fast_forward_permutation(rng, n_items: int, batch_size: int,
+                             n_steps: int) -> int:
+    """Resume helper for driver-local batch closures that draw
+    ``rng.permutation(n_items)`` once per epoch (wavernn/tacotron): advance
+    the generator past the epochs ``n_steps`` consumed batches span and
+    return the in-epoch batch offset to skip. ``Dataset.seek`` is the
+    full-featured equivalent for Dataset streams."""
+    epoch_b = n_items // batch_size
+    if not n_steps or not epoch_b:
+        return 0
+    n_epochs, skip = divmod(n_steps, epoch_b)
+    for _ in range(n_epochs):
+        rng.permutation(n_items)
+    return skip
 
 
 def load_files(metafile, mel_dir, spk_embed_dir=None, num_samples=None):

@@ -217,7 +217,9 @@ class CTCTranscriber:
         bucket = 1 << max(12, int(n_real - 1).bit_length())
         wav = np.pad(wav, (0, bucket - n_real))
         hop = max(1, int(self.sr * 0.010))
-        real_frames = max(1, n_real // hop)
+        # centered STFT: an unpadded utterance has 1 + n//hop frames — the
+        # count the trainer's out_lens see via m.shape[0]
+        real_frames = max(1, n_real // hop + 1)
         with jax.default_device(self._cpu):
             mel = _log_mel(wav, self.sr, self.n_mels,
                            stat_frames=real_frames)

@@ -33,7 +33,8 @@ from ..models.wavernn import discretized_mix_logistic_loss
 __all__ = [
     "make_forward_train_step", "make_forward_val_step",
     "make_autoregressive_train_step", "make_autoregressive_val_step",
-    "make_mine_update", "make_wavernn_train_step", "make_tacotron_train_step",
+    "make_mine_update", "make_mine_zoo_update", "make_wavernn_train_step",
+    "make_tacotron_train_step",
 ]
 
 
@@ -294,6 +295,10 @@ def make_mine_zoo_update(nets, tx):
 
     Returns step(states, text_enc_out, gst_out, spk, mi_state, rngs) ->
     (new_states, mis (n,), last_terms) where ``rngs`` is one key per net."""
+    if not nets:
+        raise ValueError(
+            "make_mine_zoo_update needs a non-empty zoo — check mine_type "
+            "(MINE|CLUB|MINE_CLUB) and that system_type derives pair types")
     cores = [_mine_update_core(net, tx, kind) for kind, net in nets]
 
     @jax.jit

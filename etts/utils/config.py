@@ -42,6 +42,14 @@ class ConfigManager:
                 self.config["mine_pair_types"] = ["style_text"]
             elif st == "speaker_text":
                 self.config["mine_pair_types"] = ["speaker_text"]
+            else:
+                # text-only has no {style, speaker} embeddings to
+                # disentangle; the reference leaves a stale yaml list and
+                # crashes at the first step ('define system_type',
+                # config_manager.py:33) — degrade to MI-less training instead
+                print(f"use_mine with system_type={st!r}: no embedding "
+                      f"pairs to disentangle, MINE disabled")
+                self.config["mine_pair_types"] = []
             if self.config.get("use_pretrained") and st == "speaker_style_text":
                 self.config["mine_pair_types"] = ["style_text", "style_speaker"]
 

@@ -1,0 +1,197 @@
+"""Measure embedding disentanglement of trained sessions with FRESH critics.
+
+The reference's research goal is minimizing mutual information between the
+{style, text, speaker} embeddings (TransformerTTS/README.md:27-52), but it
+never ships a way to measure whether training actually achieved it — the MI
+values logged during training come from the adversarially-trained critics
+themselves, which are a moving yardstick. This tool gives the fair
+measurement: freeze each session's TTS model, cache its embeddings over the
+corpus, train a FRESH MINE critic per pair from scratch on those frozen
+embeddings, and report the converged MI lower bound. Comparing sessions
+(e.g. use_mine on vs off) with identically-initialized fresh critics is then
+apples to apples.
+
+Usage:
+  python eval_disentanglement.py --config <cfg> --sessions s_base s_mine \
+      [--pairs style_text ...] [--critic_steps 600] [--out mi.csv]
+"""
+import argparse
+import csv
+from pathlib import Path
+
+import _bootstrap  # noqa: F401
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from etts.data import Dataset, DataPrepper, load_files
+from etts.models.autoregressive import AutoregressiveTransformer
+from etts.models.mine import MINE, MIState
+from etts.train import TrainState, make_optimizer, make_mine_update
+from etts.utils import ConfigManager
+
+
+def _cache_embeddings(cm, session, checkpoint, batch_size, max_batches):
+    """Frozen-model embeddings over the train set: list of (text, gst, spk)."""
+    cm = ConfigManager(cm, "autoregressive", session)
+    config = cm.config
+    model, variables, step, sched = cm.load_model(checkpoint_path=checkpoint)
+    pipeline = cm.get_text_pipeline()
+    spk_dir = (cm.train_datadir / "spk_embeds"
+               if model.has_speaker else None)
+    samples, _ = load_files(cm.train_datadir / "train_metafile.txt",
+                            cm.train_datadir / "mels", spk_dir)
+    prepper = DataPrepper(config, pipeline.tokenizer)
+    ds = Dataset(samples, prepper, batch_size,
+                 mel_channels=config["mel_channels"], seed=7)
+    r = sched.get("reduction_factor", 1)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def enc(mel, phon, spk_in):
+        tar = mel[:, :-1][:, ::r]
+        out = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            phon, tar, spk_in, False, False, 0,
+            method=AutoregressiveTransformer.encode,
+            rngs={"dropout": key, "prenet": key})
+        return out[6], out[5]  # text_enc_output, gst_output
+
+    cached, labels = [], []
+    for _ in range(max_batches):
+        mel, phon, stop, spk = ds.next_batch()
+        spk_in = (jnp.asarray(spk)[:, None, :] if model.has_speaker
+                  else jnp.zeros((mel.shape[0], 1, 1)))
+        text, gst = enc(jnp.asarray(mel), jnp.asarray(phon), spk_in)
+        cached.append((np.asarray(text, np.float32),
+                       np.asarray(gst, np.float32), np.asarray(spk_in)))
+        # first REAL token (position 0 may be a start sentinel): the label
+        # for the linear text-leakage probe
+        pos = 1 if len(set(np.asarray(phon)[:, 0])) == 1 else 0
+        labels.append(np.asarray(phon)[:, pos])
+    return cached, labels, int(step or 0)
+
+
+def _probe_text_leakage(cached, labels, seed=0, epochs=400):
+    """Linear probe: predict the first token from the STYLE embedding.
+
+    A direct, high-power disentanglement measure (the MINE lower bound is
+    noisy at research-corpus scale): if prosody encodes the text, a linear
+    softmax readout beats the chance rate; a disentangled style space
+    shouldn't. Returns (test_accuracy, chance_rate)."""
+    import jax
+    gst = np.concatenate([c[1][:, 0] for c in cached])  # (n, d)
+    y = np.concatenate(labels)
+    classes, y = np.unique(y, return_inverse=True)
+    n = len(y)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_tr = max(1, int(0.75 * n))
+    tr, te = order[:n_tr], order[n_tr:]
+    x = (gst - gst[tr].mean(0)) / (gst[tr].std(0) + 1e-6)
+    W = jnp.zeros((gst.shape[1], len(classes)))
+    b = jnp.zeros((len(classes),))
+    xt, yt = jnp.asarray(x[tr]), jnp.asarray(y[tr])
+
+    @jax.jit
+    def step(W, b):
+        def loss_fn(Wb):
+            W, b = Wb
+            logp = jax.nn.log_softmax(xt @ W + b)
+            return -jnp.mean(logp[jnp.arange(len(yt)), yt]) \
+                + 1e-3 * jnp.sum(W * W)
+        g = jax.grad(loss_fn)((W, b))
+        return W - 0.5 * g[0], b - 0.5 * g[1]
+
+    for _ in range(epochs):
+        W, b = step(W, b)
+    pred = np.asarray(jnp.argmax(jnp.asarray(x[te]) @ W + b, -1))
+    counts = np.bincount(y[tr])
+    chance = counts.max() / counts.sum()
+    return float((pred == y[te]).mean()), float(chance)
+
+
+def _train_fresh_critic(cached, pair, steps, seed=0):
+    """Fresh MINE (KL) critic on frozen embeddings -> converged MI bound."""
+    key = jax.random.PRNGKey(seed)
+    mine = MINE(pair_type=pair, divergence_type="KL")
+    mi_state = MIState.create(mine.n_beta)
+    t0, g0, s0 = cached[0]
+    vars0 = mine.init(key, jnp.asarray(t0), jnp.asarray(g0),
+                      jnp.asarray(s0), mi_state, key)
+    tx = make_optimizer([[0, 1e-4]])
+    st = TrainState.create(vars0, tx)
+    upd = make_mine_update(mine, tx, kind="MINE")
+    tail = []
+    for i in range(steps):
+        t, g, s = cached[i % len(cached)]
+        st, mi, terms = upd(st, jnp.asarray(t), jnp.asarray(g),
+                            jnp.asarray(s), mi_state,
+                            jax.random.fold_in(key, i))
+        mi_state = mi_state.replace(exp_terms=terms)
+        if i >= steps - max(50, steps // 5):
+            tail.append(float(mi))
+    return float(np.mean(tail))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--sessions", type=str, nargs="+", required=True)
+    parser.add_argument("--checkpoints", type=str, nargs="*", default=None,
+                        help="optional per-session checkpoint step dirs")
+    parser.add_argument("--pairs", type=str, nargs="*",
+                        default=["style_text"])
+    parser.add_argument("--critic_steps", type=int, default=600)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_batches", type=int, default=16)
+    parser.add_argument("--seeds", type=int, default=3,
+                        help="fresh critics per pair (report mean±std)")
+    parser.add_argument("--probe_first_token", action="store_true",
+                        help="also report a linear style->first-token probe "
+                        "accuracy (direct text-leakage measure)")
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args()
+
+    rows = []
+    for si, session in enumerate(args.sessions):
+        ckpt = (args.checkpoints[si]
+                if args.checkpoints and si < len(args.checkpoints) else None)
+        cached, labels, step = _cache_embeddings(args.config, session, ckpt,
+                                                 args.batch_size,
+                                                 args.max_batches)
+        if args.probe_first_token:
+            accs = [_probe_text_leakage(cached, labels, seed=s)
+                    for s in range(args.seeds)]
+            acc = float(np.mean([a for a, _ in accs]))
+            chance = accs[0][1]
+            rows.append(dict(session=session, step=step, pair="probe_first_token",
+                             mi_mean=round(acc, 4), mi_std=round(
+                                 float(np.std([a for a, _ in accs])), 4),
+                             critics=args.seeds))
+            print(f"{session}@{step} style->first-token linear probe: "
+                  f"acc {acc:.3f} (chance {chance:.3f})")
+        for pair in args.pairs:
+            vals = [_train_fresh_critic(cached, pair, args.critic_steps,
+                                        seed=s) for s in range(args.seeds)]
+            row = dict(session=session, step=step, pair=pair,
+                       mi_mean=round(float(np.mean(vals)), 4),
+                       mi_std=round(float(np.std(vals)), 4),
+                       critics=args.seeds)
+            rows.append(row)
+            print(f"{session}@{step} {pair}: "
+                  f"MI = {row['mi_mean']:.4f} ± {row['mi_std']:.4f} "
+                  f"({args.seeds} fresh critics)")
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

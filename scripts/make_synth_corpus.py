@@ -31,14 +31,29 @@ SPEAKERS = {
 }
 
 
-def render(text: str, speaker: str, style_rng: np.random.Generator):
+def render(text: str, speaker: str, style_rng: np.random.Generator,
+           entangle_style: bool = False):
     """Render one utterance: tone words with speaker timbre and a smooth
-    per-utterance prosody contour (pitch scale, energy envelope, tempo)."""
+    per-utterance prosody contour (pitch scale, energy envelope, tempo).
+
+    ``entangle_style=True`` makes the prosody a (noisy) deterministic
+    function of the FIRST word, so MI(style, text) is positive by
+    construction — the corpus variant for measuring whether MINE training
+    actually disentangles (scripts/eval_disentanglement.py); the default
+    keeps style independent of text (and the original rng draw order, so
+    existing corpora regenerate bit-identically)."""
     harm = SPEAKERS[speaker]
-    pitch_scale = style_rng.uniform(0.9, 1.12)
-    tempo = style_rng.uniform(0.85, 1.15)
-    vib_depth = style_rng.uniform(0.0, 0.02)
-    vib_rate = style_rng.uniform(3.0, 7.0)
+    if entangle_style:
+        frac = list(WORDS).index(text.split()[0]) / (len(WORDS) - 1)
+        pitch_scale = 0.9 + 0.2 * frac + style_rng.uniform(-0.01, 0.01)
+        tempo = 1.12 - 0.25 * frac + style_rng.uniform(-0.02, 0.02)
+        vib_depth = 0.02 * frac
+        vib_rate = 3.0 + 4.0 * frac
+    else:
+        pitch_scale = style_rng.uniform(0.9, 1.12)
+        tempo = style_rng.uniform(0.85, 1.15)
+        vib_depth = style_rng.uniform(0.0, 0.02)
+        vib_rate = style_rng.uniform(3.0, 7.0)
     segs = []
     for w in text.split():
         dur = 0.26 * tempo
@@ -76,6 +91,9 @@ def main():
     parser.add_argument("--n_utts", type=int, default=300)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n_test_sentences", type=int, default=8)
+    parser.add_argument("--entangle_style", action="store_true",
+                        help="prosody correlates with the first word "
+                        "(positive MI(style, text) by construction)")
     args = parser.parse_args()
 
     out = Path(args.out)
@@ -93,7 +111,8 @@ def main():
     for i in range(args.n_utts):
         text = " ".join(rng.choice(words, size=rng.integers(4, 10)))
         speaker = speakers[i % len(speakers)]
-        wav = render(text, speaker, rng)
+        wav = render(text, speaker, rng,
+                     entangle_style=args.entangle_style)
         uid = f"{speaker}_utt{i:04d}"
         save_wav(wav, str(out / "wavs" / f"{uid}.wav"), SR)
         np.save(out / "spk_embeds" / f"{uid}.npy", spk_vecs[speaker])

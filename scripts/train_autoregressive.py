@@ -130,6 +130,7 @@ def main():
 
     # MINE zoo -----------------------------------------------------------------
     mine_nets, mine_states, mine_ckpts = [], [], []
+    mine_zoo_step = None
     mi_state = MIState.create(
         n_beta=len(config.get("mine_beta_values", [0])),
         smoothing_factor=config.get("mine_smoothing_factor", 1.0),
@@ -155,15 +156,17 @@ def main():
             mine_states.append(st)
             mine_ckpts.append(mngr)
         # all net updates fused into ONE dispatch (independent subgraphs
-        # schedule concurrently; MI scalars sync on the metrics cadence)
-        mine_zoo_step = make_mine_zoo_update(mine_nets, mine_tx)
+        # schedule concurrently; MI scalars sync on the metrics cadence);
+        # an empty zoo (e.g. system_type derives no pairs) degrades to
+        # MI-less training rather than crashing
+        mine_zoo_step = (make_mine_zoo_update(mine_nets, mine_tx)
+                         if mine_nets else None)
 
     # train step ---------------------------------------------------------------
     # opt-in research mode: compute MI inside the TTS tape so the adversarial
     # game is real (the faithful default keeps the reference's gradient-free
     # previous-step hinge)
-    adversarial = bool(config.get("mine_adversarial")) and \
-        bool(config.get("use_mine"))
+    adversarial = bool(config.get("mine_adversarial")) and bool(mine_nets)
     # optional context parallelism over a 'seq' mesh axis for very long
     # reference audio (config sequence_parallel: N shards t_mel N ways)
     seq_n = int(config.get("sequence_parallel", 1))
@@ -200,6 +203,16 @@ def main():
         # fresh bucket-shape x current-r compiles) — see Dataset.seek
         dataset.seek(start_step)
         if mine_dataset is not None and config.get("mine_sep_call"):
+            # the MINE stream cannot be continued exactly across batch-size
+            # schedule boundaries (change_batches resets the iterator even in
+            # an uninterrupted run); apply the CURRENT scheduled size first so
+            # the loop's change_batches check doesn't discard the seek, then
+            # fast-forward by the step count — the approximation avoids
+            # re-exposing the earliest batches, which is the point
+            cur_bs = reduction_schedule(start_step,
+                                        config["mine_batch_size_schedule"])
+            if cur_bs != mine_dataset.batch_size:
+                mine_dataset.change_batches(cur_bs)
             mine_dataset.seek(start_step)
     dataset = Prefetcher(dataset)
 
@@ -219,7 +232,7 @@ def main():
             state, batch, mi_arg, jax.random.fold_in(key, step),
             r=r, prenet_dropout=prenet_dropout, drop_n_heads=drop_n)
 
-        if config.get("use_mine"):
+        if mine_zoo_step is not None:
             if config.get("mine_sep_call"):
                 mb = mine_dataset.next_batch()
                 mel, phon, stop, spk = mb
@@ -274,7 +287,7 @@ def main():
             summary.add_scalar("meta/reduction_factor", r, step=step)
             summary.add_scalar("meta/prenet_dropout", prenet_dropout,
                                step=step)
-            if config.get("use_mine"):
+            if mine_zoo_step is not None:
                 # MI scalars sync here (not per step): each float() is a
                 # host<->device round trip
                 for i, mv in enumerate(np.asarray(mi_vals)):

@@ -105,13 +105,9 @@ def main():
 
     summary = SummaryManager(model, cm.log_dir, config)
     # resume continues the shuffled sample stream instead of replaying it
-    skip = 0
-    epoch_b = len(rows) // batch_size
-    if int(state.step) and epoch_b:
-        n_epochs, skip = divmod(int(state.step), epoch_b)
-        for _ in range(n_epochs):
-            rng.permutation(len(rows))
-    it = batches(skip)
+    from etts.data import fast_forward_permutation
+    it = batches(fast_forward_permutation(rng, len(rows), batch_size,
+                                          int(state.step)))
     t = tqdm.trange(int(state.step), args.max_steps, initial=int(state.step),
                     disable=jax.process_index() != 0,
                     total=args.max_steps)

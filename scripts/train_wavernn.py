@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import tqdm
 
-from etts.data import VocoderDataset, collate_vocoder
+from etts.data import (VocoderDataset, collate_vocoder,
+                       fast_forward_permutation)
 from etts.data.audio_io import save_wav
 from etts.models.wavernn import generate
 from etts.parallel import (make_mesh, shard_batch, replicate,
@@ -105,13 +106,8 @@ def main():
     # resume continues the shuffled sample stream (skipped whole epochs
     # advance the dedicated permutation rng identically; crop offsets are
     # iid draws from their own generator, so their stream needn't replay)
-    skip = 0
-    epoch_b = len(train_set) // batch_size
-    if int(state.step) and epoch_b:
-        n_epochs, skip = divmod(int(state.step), epoch_b)
-        for _ in range(n_epochs):
-            perm_rng.permutation(len(train_set))
-    it = batches(skip)
+    it = batches(fast_forward_permutation(perm_rng, len(train_set),
+                                          batch_size, int(state.step)))
     t = tqdm.trange(int(state.step), max_steps, initial=int(state.step),
                     disable=jax.process_index() != 0,
                     total=max_steps)

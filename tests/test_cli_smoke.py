@@ -18,6 +18,10 @@ SCRIPTS = [
     "scripts/export_gst_embeddings.py",
     "scripts/make_gta.py",
     "scripts/preprocess_wavernn.py",
+    "scripts/make_synth_corpus.py",
+    "scripts/train_ctc_asr.py",
+    "scripts/eval_soak.py",
+    "scripts/eval_disentanglement.py",
     "synthesize_sentences.py",
     "synthesize_sentences_speaker.py",
     "gen_wavernn.py",

@@ -278,3 +278,25 @@ class TestParallelBuilders:
         ph = GraphemeBackend()
         assert _parallel_phonemize(ph, texts, 1) == \
             _parallel_phonemize(ph, texts, 8)
+
+
+class TestFastForwardPermutation:
+    @pytest.mark.parametrize("n_steps", [0, 2, 5, 13])
+    def test_matches_consumed_stream(self, n_steps):
+        from etts.data import fast_forward_permutation
+        n, bs = 11, 2  # 5 batches/epoch
+        def stream(rng, skip=0):
+            while True:
+                order = rng.permutation(n)
+                start = skip * bs
+                skip = 0
+                for i in range(start, len(order) - bs + 1, bs):
+                    yield tuple(order[i:i + bs])
+        ref = stream(np.random.default_rng(9))
+        for _ in range(n_steps):
+            next(ref)
+        rng2 = np.random.default_rng(9)
+        skip = fast_forward_permutation(rng2, n, bs, n_steps)
+        got = stream(rng2, skip)
+        for _ in range(7):
+            assert next(ref) == next(got)
