@@ -57,6 +57,17 @@ def main():
     seq_hops = config.get("voc_seq_len_hops", 5)
     min_mel = seq_hops + 4 * config.get("voc_pad", 2) + 3
     ids = [x[0] for x in dataset_index if x[1] > min_mel]
+    if args.gta:
+        # the GTA store is metafile-driven (make_gta) and can be a strict
+        # subset of the quant store (e.g. the dataset builder's split drops
+        # an utterance); train only on ids that actually have GTA mels
+        gta_dir = Path(args.data) / "gta"
+        have = {p.stem for p in gta_dir.glob("*.npy")}
+        missing = [i for i in ids if i not in have]
+        if missing:
+            print(f"gta: skipping {len(missing)} ids without GTA mels "
+                  f"(e.g. {missing[0]})")
+        ids = [i for i in ids if i in have]
     random.seed(1234)
     random.shuffle(ids)
     n_test = config.get("voc_test_samples", 50)
