@@ -207,8 +207,24 @@ class TTSSynthesizer:
         """Yield waveform chunks end to end (text -> streamed audio).
 
         Applies the (mel+4)/8 vocoder contract between the stages; first
-        audio in ~7 ms at 0.2 s chunks on a v5e (BENCH_NOTES)."""
+        audio in ~7 ms at 0.2 s chunks on a v5e (BENCH_NOTES). Works for
+        both model families: the AR decode streams mel chunks as they
+        decode; the forward model emits its mel in one shot (no feedback
+        loop) and streams through chunked vocoding — first audio after one
+        chunk's vocode rather than the whole utterance's."""
         from .streaming import stream_synthesize
+        if self.cm.model_kind == "forward":
+            from .streaming import stream_vocode
+            mel = self.predict(text, key=key)["mel"]
+            voc_mel = (jnp.asarray(mel) + 4.0) / 8.0
+            chunks = (voc_mel[i:i + mel_chunk]
+                      for i in range(0, voc_mel.shape[0], mel_chunk))
+            yield from stream_vocode(
+                vocoder.model, vocoder.variables, chunks,
+                chunk_frames=mel_chunk,
+                mu_law=vocoder.config.get("mu_law", True), key=key,
+                int8_weights=vocoder._int8(int8_weights))
+            return
         inp, ref, spk = self._stream_inputs(text, ref_mel, spk_embed)
         yield from stream_synthesize(
             self.model, self.variables, vocoder.model, vocoder.variables,

@@ -132,3 +132,25 @@ class TestStreamSynthesize:
         assert np.abs(wav).max() <= 1.0 + 1e-6
         # first chunk arrives after only mel_chunk frames of decoding
         assert chunks[0].shape[0] == 4 * voc_model.hop_length
+
+    def test_forward_model_stream_api(self):
+        """TTSSynthesizer.stream's forward-model branch: one-shot mel ->
+        chunked vocoding, first audio after one chunk's vocode."""
+        from etts.api import TTSSynthesizer, VocoderSynthesizer
+        voc_model, voc_vars = _voc()
+        mel = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(3), (12, MEL_C))) * 2.0  # TTS layout [-4, 4]
+
+        tts = TTSSynthesizer.__new__(TTSSynthesizer)
+        tts.cm = type("CM", (), {"model_kind": "forward"})()
+        tts.predict = lambda text, key=None: {"mel": mel}
+        voc = VocoderSynthesizer.__new__(VocoderSynthesizer)
+        voc.model, voc.variables = voc_model, voc_vars
+        voc.config = {"mu_law": False}
+
+        chunks = list(tts.stream("ba do", voc, mel_chunk=5,
+                                 key=jax.random.PRNGKey(4)))
+        wav = np.concatenate(chunks)
+        assert wav.shape[0] == 12 * voc_model.hop_length
+        assert np.isfinite(wav).all()
+        assert chunks[0].shape[0] == 5 * voc_model.hop_length
