@@ -9,7 +9,16 @@ self-consistent across rounds/VM migrations.
 import hashlib
 import os
 
-__all__ = ["enable_persistent_cache"]
+__all__ = ["enable_persistent_cache", "force_cpu_if_requested"]
+
+
+def force_cpu_if_requested():
+    """Honor ETTS_FORCE_CPU=1 (sitecustomize pins jax_platforms=axon, so an
+    env var alone cannot switch backends — this must run before first device
+    use). scripts/ get it via _bootstrap; root-level CLIs call it directly."""
+    if os.environ.get("ETTS_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
 
 def _host_fingerprint() -> str:

@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--out_dir", type=str, default="voc_out")
     args = parser.parse_args()
 
+    from etts.utils.xla_cache import force_cpu_if_requested
+    force_cpu_if_requested()
     from etts.api import VocoderSynthesizer
     from etts.data.audio_io import save_wav
 

@@ -34,16 +34,22 @@ def main():
     parser.add_argument("--spk_embed", type=str, default=None,
                         help="speaker d-vector .npy (required for "
                              "speaker-conditioned system_types)")
+    parser.add_argument("--model_kind", type=str, default="autoregressive",
+                        choices=["autoregressive", "forward"],
+                        help="acoustic model family of --tts_session")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--int8", action="store_true",
                         help="int8 vocoder kernel weights (halves the VMEM weight stream)")
     args = parser.parse_args()
 
+    from etts.utils.xla_cache import force_cpu_if_requested
+    force_cpu_if_requested()
     import jax
     from etts.api import TTSSynthesizer, VocoderSynthesizer
     from etts.data.audio_io import load_wav, save_wav
 
-    tts = TTSSynthesizer(args.tts_config, args.tts_session)
+    tts = TTSSynthesizer(args.tts_config, args.tts_session,
+                         model_kind=args.model_kind)
     config = tts.config
     voc = VocoderSynthesizer(args.voc_config, args.voc_session) \
         if args.voc_config else None
@@ -65,7 +71,8 @@ def main():
 
     for ref_type in ref_types:
         ref_mel = None
-        if tts.model.has_style:
+        # forward models have no style encoder (reference forward config)
+        if getattr(tts.model, "has_style", False):
             ref_wav_path = ref_dir / f"{ref_type}.wav"
             if not ref_wav_path.exists():
                 print(f"! missing reference audio {ref_wav_path}, skipping "

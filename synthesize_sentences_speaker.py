@@ -57,6 +57,8 @@ def main():
                         help="int8 vocoder kernel weights (halves the VMEM weight stream)")
     args = parser.parse_args()
 
+    from etts.utils.xla_cache import force_cpu_if_requested
+    force_cpu_if_requested()
     import jax
     from etts.api import TTSSynthesizer, VocoderSynthesizer
     from etts.data.audio_io import load_wav, save_wav
