@@ -113,9 +113,23 @@ class TTSSynthesizer:
                   ref if self.model.has_style else None,
                   spk if self.model.has_speaker else None, key)
 
+    def _reject_forward_conditioning(self, ref_mel, spk_embed):
+        """The forward family (ForwardTransformer) takes no style/speaker
+        conditioning — fail loudly instead of silently ignoring the args
+        (ADVICE r3: a caller passing conditioning got no error and no
+        effect). max_length likewise does not apply: the forward model
+        emits its whole mel in one shot bounded by config max_frames."""
+        if ref_mel is not None or spk_embed is not None:
+            raise ValueError(
+                "forward-family models take no ref_mel/spk_embed "
+                "conditioning (ForwardTransformer is text->mel only); "
+                "use an autoregressive system_type for style/speaker "
+                "control")
+
     def predict(self, text, ref_mel=None, spk_embed=None, max_length=1000,
                 key=None, speed_regulator=1.0):
         if self.cm.model_kind == "forward":
+            self._reject_forward_conditioning(ref_mel, spk_embed)
             out = self.model.apply(
                 self.variables, jnp.asarray(self.encode_text(text))[None],
                 None, max_frames=int(self.config.get("max_frames", 1280)),
@@ -215,6 +229,7 @@ class TTSSynthesizer:
         from .streaming import stream_synthesize
         if self.cm.model_kind == "forward":
             from .streaming import stream_vocode
+            self._reject_forward_conditioning(ref_mel, spk_embed)
             mel = self.predict(text, key=key)["mel"]
             voc_mel = (jnp.asarray(mel) + 4.0) / 8.0
             chunks = (voc_mel[i:i + mel_chunk]

@@ -256,7 +256,16 @@ class Dataset:
         if n_batches <= 0:
             return
         epoch = self.batches_per_epoch()
-        if epoch is None or epoch == 0:
+        if epoch == 0:
+            # drop_remainder with fewer samples than one batch: the infinite
+            # iterator never yields, so the next_batch() replay below would
+            # hang silently. Fail fast instead (ADVICE r3).
+            raise ValueError(
+                f"Dataset.seek: dataset yields 0 batches per epoch "
+                f"({len(self._samples)} samples < batch_size "
+                f"{self.batch_size} with drop_remainder) — cannot resume a "
+                "stream that never produced a batch")
+        if epoch is None:
             for _ in range(n_batches):
                 self.next_batch()
             return

@@ -216,10 +216,12 @@ class CTCTranscriber:
         n_real = len(wav)
         bucket = 1 << max(12, int(n_real - 1).bit_length())
         wav = np.pad(wav, (0, bucket - n_real))
+        # frame count of the UNPADDED utterance, from the stft module's own
+        # framing formula (the count the trainer's out_lens see via
+        # m.shape[0]) — not a hand-derived duplicate that could drift
+        from ..ops.stft import n_frames
         hop = max(1, int(self.sr * 0.010))
-        # centered STFT: an unpadded utterance has 1 + n//hop frames — the
-        # count the trainer's out_lens see via m.shape[0]
-        real_frames = max(1, n_real // hop + 1)
+        real_frames = n_frames(n_real, n_fft=512, hop_length=hop)
         with jax.default_device(self._cpu):
             mel = _log_mel(wav, self.sr, self.n_mels,
                            stat_frames=real_frames)

@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils.lru import LRU
+
+# bounded: long-lived serving processes must not retain every model variant's
+# params + compiled decoder forever (ADVICE r3)
+_FUSED_CACHE = LRU(8)
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -492,7 +498,7 @@ def make_fused_decoder(model, *, max_steps: int, r: int = 1,
 def fused_decode(model, variables, enc_output, *, max_steps: int,
                  r: int = 1, key=None, prenet_dropout: float = 0.5,
                  stop_enabled: bool = True, interpret: bool = False,
-                 compute_dtype="bfloat16", _cache={}):
+                 compute_dtype="bfloat16", _cache=None):
     """Run the fused decode kernel. Returns (mel (1, T*r, mel), length,
     steps); length counts FRAMES.
 
@@ -501,6 +507,8 @@ def fused_decode(model, variables, enc_output, *, max_steps: int,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if _cache is None:
+        _cache = _FUSED_CACHE
     ck = (id(model), _round_up(max_steps, 8), r, stop_enabled, interpret,
           str(compute_dtype))
     if ck not in _cache:

@@ -59,6 +59,19 @@ def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     return y[..., idx]
 
 
+def n_frames(n_samples: int, n_fft: int, hop_length: int,
+             center: bool = True) -> int:
+    """Frame count :func:`stft` produces for an ``n_samples`` signal.
+
+    Single source of truth for the framing formula — consumers (e.g. the
+    CTC transcriber trimming its decode region to the unpadded wav) must
+    use this rather than re-deriving ``1 + n // hop`` by hand (ADVICE r3:
+    a framing change here would silently mis-trim their logits)."""
+    if center:
+        n_samples = n_samples + 2 * (n_fft // 2)
+    return max(1, 1 + (n_samples - n_fft) // hop_length)
+
+
 def stft(y: jax.Array, n_fft: int, hop_length: int, win_length: int,
          center: bool = True) -> jax.Array:
     """Complex STFT of a 1-D waveform; returns (1 + n_fft//2, n_frames).

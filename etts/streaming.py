@@ -28,6 +28,7 @@ from .models.autoregressive import (AutoregressiveTransformer,
                                     make_chunk_decoder, streaming_decode_init)
 from .models.wavernn import (WaveRNN, _conditioning_streams, _run_sample_loop)
 from .ops.normalizers import mu_law_decode
+from .utils.lru import LRU
 
 __all__ = ["stream_mel", "stream_vocode", "stream_synthesize"]
 
@@ -36,7 +37,7 @@ def stream_mel(model: AutoregressiveTransformer, variables, inputs,
                ref_mel=None, spk_embed=None, *, chunk: int = 40, r: int = 1,
                max_length: int = 1000, prenet_dropout: float = 0.5,
                stop_enabled: bool = True, key=None,
-               _decoder_cache={}) -> Iterator[np.ndarray]:
+               _decoder_cache=LRU(16)) -> Iterator[np.ndarray]:
     """Yield mel chunks (<= chunk*r frames each) for one utterance (b=1)."""
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -156,7 +157,7 @@ def _jit_vocode_chunk(model: WaveRNN, n_frames: int, use_pallas: bool,
 def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
                   chunk_frames: int = 40, mu_law: bool = True, key=None,
                   use_pallas: bool | None = None, int8_weights: bool = False,
-                  _fn_cache={}) -> Iterator[np.ndarray]:
+                  _fn_cache=LRU(8)) -> Iterator[np.ndarray]:
     """Consume an iterator of vocoder-convention mel chunks (t_i, n_mels),
     yield waveform chunks of chunk_frames*hop samples (last chunk shorter).
 

@@ -1,0 +1,77 @@
+#!/bin/bash
+# Round-4 TPU job queue. Run by the tunnel watcher (strictly serial; one
+# TPU process at a time). Each job logs to /tmp/r4_<name>.log.
+# VERDICT r3 "do this": #1 green bench record, #2 trained vocoder + neural
+# E2E, #3 disentanglement experiment, #4 expressive control, #5 exposure
+# bias mitigation, #6 int8 perceptual gate, #9 multi-speaker regime eval.
+cd /root/repo
+export PYTHONUNBUFFERED=1
+
+tcp_ok() {
+  python -c "import socket;socket.create_connection(('127.0.0.1',8113),3).close()" 2>/dev/null
+}
+probe() {
+  timeout 300 python - <<'EOF'
+import jax, jax.numpy as jnp
+x = jax.jit(lambda a: a + 1)(jnp.zeros(()))
+x.block_until_ready()
+print("TPU OK:", jax.devices())
+EOF
+}
+
+run() {
+  local name=$1; shift
+  if [ -f "/tmp/r4_${name}.ok" ]; then
+    echo "=== $name already done, skipping ==="
+    return 0
+  fi
+  for attempt in 1 2; do
+    echo "=== $name attempt $attempt $(date) ==="
+    if timeout 5400 "$@" >"/tmp/r4_$name.log" 2>&1; then
+      echo "$name OK"
+      touch "/tmp/r4_${name}.ok"
+      return 0
+    fi
+    echo "$name FAILED (attempt $attempt); tail:"
+    tail -5 "/tmp/r4_$name.log"
+    sleep 60
+    until tcp_ok && probe; do sleep 60; done
+  done
+  echo "$name FAILED twice — continuing with next job"
+  return 1
+}
+
+# --- 1. driver-record benches (VERDICT do #1) ---
+run bench_main   python bench.py
+run bench_serve  python bench.py --serve
+run bench_curve  python bench.py --train_curve
+
+# --- 2. trained vocoder + fully neural E2E (VERDICT do #2) ---
+run vocsoak      python scripts/train_wavernn.py --config .soak \
+                   --data .soak/voc --session_name vocsoak --max_steps 4000
+run make_gta     python scripts/make_gta.py --config .soak \
+                   --session_name curve20k --voc_data .soak/voc \
+                   --checkpoint .soak/checkpoints/.soak_curve20k/autoregressive_weights/14000
+run vocsoak_gta  python scripts/train_wavernn.py --config .soak \
+                   --data .soak/voc --session_name vocsoak --gta --max_steps 6000
+run eval_e2e     python scripts/eval_soak.py --config .soak \
+                   --session_name curve20k --out_dir .soak/eval/e2e_voc \
+                   --checkpoint .soak/checkpoints/.soak_curve20k/autoregressive_weights/14000 \
+                   --ctc_ckpt .soak/ctc_asr.npz --vocoder_session vocsoak
+
+# --- 3. disentanglement experiment (VERDICT do #3) ---
+run ent_setup    python /tmp/ent_tpu_setup.py
+run ent_base     python scripts/train_autoregressive.py --config .soak_ent_base \
+                   --session_name A --max_steps 10000 --force
+run ent_mine     python scripts/train_autoregressive.py --config .soak_ent_mine \
+                   --session_name B --max_steps 10000 --force
+run ent_eval_a   python scripts/eval_disentanglement.py --config .soak_ent_base \
+                   --sessions A --pairs style_text --probe_first_token \
+                   --batch_size 64 --max_batches 3 --critic_steps 1500 \
+                   --out artifacts/soak/disentangle_base.csv
+run ent_eval_b   python scripts/eval_disentanglement.py --config .soak_ent_mine \
+                   --sessions B --pairs style_text --probe_first_token \
+                   --batch_size 64 --max_batches 3 --critic_steps 1500 \
+                   --out artifacts/soak/disentangle_mine.csv
+
+echo "[queue] $(date) round-4 queue COMPLETE"

@@ -299,6 +299,14 @@ def main():
             jax.profiler.stop_trace()
 
         if (step + 1) % config["weights_save_frequency"] == 0 or step + 1 == max_steps:
+            # guard EVERY save, not only metrics-sync steps: a loss that
+            # goes NaN between syncs must never overwrite a good rolling
+            # checkpoint (max_to_keep). One cheap device-side scalar sync.
+            loss_now = float(metrics["loss"])
+            if not np.isfinite(loss_now) or loss_now > 1e4:
+                raise RuntimeError(
+                    f"Loss exploded to {loss_now} at step {step} "
+                    "(pre-checkpoint guard)")
             ckpt.save_state(step + 1, state)
             for i, mngr in enumerate(mine_ckpts):
                 mngr.save_state(step + 1, mine_states[i])

@@ -96,6 +96,19 @@ class TestDataset:
             for w, g in zip(want, got):
                 np.testing.assert_array_equal(w, g)
 
+    def test_seek_zero_batches_per_epoch_fails_fast(self, tmp_path):
+        # fewer samples than one batch under drop_remainder: the stream
+        # never yields, so seek must raise, not hang in next_batch()
+        meta, meldir = _mk_samples(tmp_path, n=3)
+        samples, _ = load_files(meta, meldir)
+        prep = DataPrepper(CONFIG, FakeTokenizer())
+        ds = Dataset(samples, prep, batch_size=64, mel_channels=8,
+                     pad_mel_multiple=16, pad_text_multiple=8,
+                     drop_remainder=True)
+        assert ds.batches_per_epoch() == 0
+        with pytest.raises(ValueError, match="0 batches per epoch"):
+            ds.seek(5)
+
     def test_seek_drop_prone_replays(self, tmp_path):
         # a drop-prone preprocessor has no static epoch structure: seek must
         # still produce the stream-continuation semantics (replay path)

@@ -77,3 +77,41 @@ class TestXlaCacheWiring:
                 tmp_path / f".jax_cache_cpu_{_host_fingerprint()}")
         finally:
             jax.config.update("jax_compilation_cache_dir", old)
+
+
+class TestLRU:
+    def test_bounded_eviction_lru_order(self):
+        from etts.utils.lru import LRU
+        c = LRU(2)
+        c["a"], c["b"] = 1, 2
+        _ = c["a"]          # refresh a; b is now LRU
+        c["c"] = 3          # evicts b
+        assert "a" in c and "c" in c and "b" not in c and len(c) == 2
+
+    def test_compiled_program_caches_are_bounded(self):
+        # ADVICE r3: serving caches hold strong model refs; they must be
+        # bounded LRUs, not plain dict default args
+        import inspect
+        from etts.utils.lru import LRU
+        from etts import streaming
+        from etts.ops.pallas import decoder_step
+        for fn, argname in ((streaming.stream_mel, "_decoder_cache"),
+                            (streaming.stream_vocode, "_fn_cache")):
+            d = inspect.signature(fn).parameters[argname].default
+            assert isinstance(d, LRU), f"{fn.__name__}.{argname}"
+        assert isinstance(decoder_step._FUSED_CACHE, LRU)
+
+
+class TestForwardConditioningRejected:
+    def test_reject_forward_conditioning(self):
+        # forward family takes no ref_mel/spk_embed: silently ignoring a
+        # caller's conditioning is a footgun (ADVICE r3)
+        import numpy as np
+        import pytest
+        from etts.api import TTSSynthesizer
+        rej = TTSSynthesizer._reject_forward_conditioning
+        rej(None, None, None)  # no conditioning: fine
+        with pytest.raises(ValueError, match="forward-family"):
+            rej(None, np.zeros((10, 80)), None)
+        with pytest.raises(ValueError, match="forward-family"):
+            rej(None, None, np.zeros(64))
