@@ -116,7 +116,8 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
                                    train_style_encoder: bool = True,
                                    train_decoder: bool = True,
                                    adversarial_mine=None,
-                                   seq_sharding=None):
+                                   seq_sharding=None,
+                                   scheduled_sampling: bool = False):
     """``adversarial_mine``: optional zoo of ``(kind, net)`` MINE/CLUB modules
     (as built by the driver). When given, the step signature becomes
     ``step(state, batch, mine_params_list, mi_state, rng, *, r, ...)`` and the
@@ -129,14 +130,25 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
     applied to the teacher-forcing mel tensors — context parallelism for very
     long reference audio: GSPMD keeps LN/FFN/conv activations sharded along
     time (spatial conv partitioning with halo exchange) and inserts the
-    gathers attention needs. SURVEY §5 long-context strategy, TPU-native."""
+    gathers attention needs. SURVEY §5 long-context strategy, TPU-native.
+
+    ``scheduled_sampling``: exposure-bias mitigation (parallel scheduled
+    sampling for transformers): an extra teacher-forced pass produces the
+    model's own frame predictions (stop-gradient, inference-style dropout),
+    and each reduced decoder-input position is replaced by the prediction
+    with probability ``ss_rate`` (a traced scalar — schedules don't
+    retrace). Targets stay ground truth. With ss_rate=0 the step is
+    bit-identical to the plain teacher-forced step. The reference never
+    mitigates its exposure bias (its free-running quality silently degrades
+    past the dropout switch); this is the TPU-side improvement, motivated by
+    the round-3 soak's checkpoint-selection curve."""
     stop_ce = new_scaled_crossentropy(index=2, scaling=stop_scaling)
     loss_fns = (masked_mean_absolute_error, stop_ce,
                 masked_mean_absolute_error)
 
     @functools.partial(jax.jit, static_argnames=("r",))
     def step(state, batch, mi_loss, rng, *, r: int, prenet_dropout=0.5,
-             drop_n_heads=0):
+             drop_n_heads=0, ss_rate=0.0):
         mel, phonemes, stop, spk = batch
         if seq_sharding is not None:
             mel = jax.lax.with_sharding_constraint(mel, seq_sharding)
@@ -148,8 +160,32 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            dec_inp = tar_mel
+            if scheduled_sampling:
+                # pass 1: the model's own teacher-forced predictions under
+                # inference-style stochasticity (train flags off, prenet
+                # dropout as served). stop_gradient: only pass 2 trains.
+                ss_rng = jax.random.fold_in(rng, 13)
+                out1 = model.apply(
+                    variables, phonemes, tar_mel, spk_in,
+                    False, False, False,
+                    r=r, prenet_dropout=prenet_dropout, drop_n_heads=0,
+                    rngs=_split_rngs(ss_rng, ["dropout", "prenet"]),
+                    mutable=False)
+                # final_output[:, t] predicts mel[:, t+1]; prepend the GO
+                # frame and re-apply the teacher-forcing shift + r-stride to
+                # get the predicted decoder input in tar_mel's layout
+                pred_full = jnp.concatenate(
+                    [mel[:, :1],
+                     jax.lax.stop_gradient(out1["final_output"][:, :mel_len])],
+                    axis=1)
+                pred_tar = pred_full[:, :-1][:, 0::r, :]
+                mix = jax.random.bernoulli(
+                    jax.random.fold_in(ss_rng, 1), ss_rate,
+                    (tar_mel.shape[0], tar_mel.shape[1], 1))
+                dec_inp = jnp.where(mix, pred_tar, tar_mel)
             out, mut = model.apply(
-                variables, phonemes, tar_mel, spk_in,
+                variables, phonemes, dec_inp, spk_in,
                 train_text_encoder, train_style_encoder, train_decoder,
                 r=r, prenet_dropout=prenet_dropout, drop_n_heads=drop_n_heads,
                 rngs=_split_rngs(rng, ["dropout", "prenet"]),

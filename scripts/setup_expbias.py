@@ -1,0 +1,84 @@
+"""Set up the round-4 exposure-bias mitigation experiment (two arms).
+
+Round 3 measured exposure bias in the flagship AR model: free-running
+quality peaks at 14k steps (right after the 8k->12k prenet-dropout 0->0.5
+switch) while train loss falls monotonically, with WER_syn 0.79 and length
+ratio 1.39 at the peak (artifacts/soak/eval_curve.csv). This script builds
+the two mitigation arms the judge asked for (VERDICT r3 do #5):
+
+  Arm ssft  -- scheduled-sampling fine-tune: seed a new session from the
+               14k checkpoint and continue to 20k with the two-pass
+               parallel-scheduled-sampling step ramping 0->0.3 over
+               14k->16k (etts/train/steps.py ``scheduled_sampling``).
+  Arm drop  -- always-on prenet dropout: a fresh 20k run with dropout 0.5
+               from step 0 (the reference's own design rationale,
+               `/root/reference/TransformerTTS/model/layers.py:398-401`),
+               directly testing the "peak sits right after the switch"
+               hypothesis.
+
+Run on the TPU via scripts/tpu_queue_round4.sh; evaluate each arm's
+checkpoints with scripts/eval_soak.py and compare against the 14k baseline.
+"""
+import argparse
+import shutil
+import sys
+from pathlib import Path
+
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import _bootstrap  # noqa: E402,F401
+from setup_finetune import seed_session  # noqa: E402
+
+
+def build_config_dir(src: Path, dst: Path, overrides: dict) -> None:
+    dst.mkdir(parents=True, exist_ok=True)
+    cfg = yaml.safe_load((src / "autoregressive_config.yaml").read_text())
+    cfg.update(overrides)
+    (dst / "autoregressive_config.yaml").write_text(yaml.safe_dump(cfg))
+    for aux in ("data_config.yaml", "wavernn_config.yaml"):
+        if (src / aux).exists():
+            shutil.copy(src / aux, dst / aux)
+    print(f"wrote {dst} (overrides: {sorted(overrides)})")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--soak_dir", default=".soak",
+                   help="base soak config/data dir")
+    p.add_argument("--src_session", default=".soak_curve20k")
+    p.add_argument("--seed_step", type=int, default=14000)
+    a = p.parse_args()
+
+    soak = Path(a.soak_dir).resolve()
+    ckroot = Path(yaml.safe_load(
+        (soak / "autoregressive_config.yaml").read_text())["log_directory"])
+
+    # arm 1: scheduled-sampling fine-tune from the free-running-best ckpt
+    ss_dir = soak.parent / (soak.name + "_ss")
+    build_config_dir(soak, ss_dir, {
+        "scheduled_sampling_schedule": [[0, 0.0], [14000, 0.0],
+                                        [16000, 0.3]],
+        "max_steps": 20000,
+        "session_name": None,
+    })
+    seed_session(ckroot / a.src_session / "autoregressive_weights",
+                 a.seed_step,
+                 ckroot / f"{ss_dir.name}_ft" / "autoregressive_weights")
+
+    # arm 2: always-on prenet dropout from step 0, fresh run
+    drop_dir = soak.parent / (soak.name + "_drop")
+    build_config_dir(soak, drop_dir, {
+        "decoder_prenet_dropout_schedule": [[0, 0.5]],
+        "max_steps": 20000,
+        "session_name": None,
+    })
+    print("\nqueue commands:")
+    print(f"  python scripts/train_autoregressive.py --config {ss_dir} "
+          f"--session_name ft --max_steps 20000")
+    print(f"  python scripts/train_autoregressive.py --config {drop_dir} "
+          f"--session_name d5 --max_steps 20000 --force")
+
+
+if __name__ == "__main__":
+    main()

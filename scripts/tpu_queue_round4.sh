@@ -59,7 +59,20 @@ run eval_e2e     python scripts/eval_soak.py --config .soak \
                    --checkpoint .soak/checkpoints/.soak_curve20k/autoregressive_weights/14000 \
                    --ctc_ckpt .soak/ctc_asr.npz --vocoder_session vocsoak
 
-# --- 3. disentanglement experiment (VERDICT do #3) ---
+# --- 3. exposure-bias mitigation (VERDICT do #5) ---
+# arm ssft: scheduled-sampling fine-tune of the free-running-best (14k)
+# checkpoint to 20k; arm drop: always-on prenet dropout from scratch
+run expbias_setup python scripts/setup_expbias.py
+run ssft         python scripts/train_autoregressive.py --config .soak_ss \
+                   --session_name ft --max_steps 20000 --force
+for CK in 16000 18000 20000; do
+  run ssft_eval$CK python scripts/eval_soak.py --config .soak_ss \
+                   --session_name ft --out_dir .soak/eval/ssft_$CK \
+                   --checkpoint .soak/checkpoints/.soak_ss_ft/autoregressive_weights/$CK \
+                   --ctc_ckpt .soak/ctc_asr.npz
+done
+
+# --- 4. disentanglement experiment (VERDICT do #3) ---
 run ent_setup    python /tmp/ent_tpu_setup.py
 run ent_base     python scripts/train_autoregressive.py --config .soak_ent_base \
                    --session_name A --max_steps 10000 --force
@@ -73,5 +86,15 @@ run ent_eval_b   python scripts/eval_disentanglement.py --config .soak_ent_mine 
                    --sessions B --pairs style_text --probe_first_token \
                    --batch_size 64 --max_batches 3 --critic_steps 1500 \
                    --out artifacts/soak/disentangle_mine.csv
+
+# --- 5. always-on-dropout arm (VERDICT do #5, hypothesis test) ---
+run dropt        python scripts/train_autoregressive.py --config .soak_drop \
+                   --session_name d5 --max_steps 20000 --force
+for CK in 14000 20000; do
+  run drop_eval$CK python scripts/eval_soak.py --config .soak_drop \
+                   --session_name d5 --out_dir .soak/eval/drop_$CK \
+                   --checkpoint .soak/checkpoints/.soak_drop_d5/autoregressive_weights/$CK \
+                   --ctc_ckpt .soak/ctc_asr.npz
+done
 
 echo "[queue] $(date) round-4 queue COMPLETE"

@@ -169,6 +169,11 @@ def main():
     adversarial = bool(config.get("mine_adversarial")) and bool(mine_nets)
     # optional context parallelism over a 'seq' mesh axis for very long
     # reference audio (config sequence_parallel: N shards t_mel N ways)
+    # exposure-bias mitigation: enable the two-pass scheduled-sampling step
+    # only when the schedule is ever nonzero (the extra pass costs ~2x)
+    ss_schedule = config.get("scheduled_sampling_schedule", [[0, 0.0]])
+    ss_enabled = any(float(v) > 0 for _, v in ss_schedule)
+
     seq_n = int(config.get("sequence_parallel", 1))
     mesh = None
     seq_sharding = None
@@ -187,7 +192,8 @@ def main():
         train_style_encoder=config.get("train_style_encoder", True),
         train_decoder=config.get("train_decoder", True),
         adversarial_mine=(mine_nets if adversarial else None),
-        seq_sharding=seq_sharding)
+        seq_sharding=seq_sharding,
+        scheduled_sampling=ss_enabled)
 
     if mesh is not None:
         state = replicate(state, mesh)
@@ -224,13 +230,16 @@ def main():
         drop_n = reduction_schedule(step, config["head_drop_schedule"])
         prenet_dropout = piecewise_linear_schedule(
             step, config["decoder_prenet_dropout_schedule"])
+        ss_rate = (piecewise_linear_schedule(step, ss_schedule)
+                   if ss_enabled else 0.0)
         if mesh is not None:
             batch = shard_batch(local_shard(batch), mesh)
         mi_arg = (([st.params for st in mine_states], mi_state)
                   if adversarial else mi_state.mi_loss)
         state, metrics, aux = train_step(
             state, batch, mi_arg, jax.random.fold_in(key, step),
-            r=r, prenet_dropout=prenet_dropout, drop_n_heads=drop_n)
+            r=r, prenet_dropout=prenet_dropout, drop_n_heads=drop_n,
+            ss_rate=ss_rate)
 
         if mine_zoo_step is not None:
             if config.get("mine_sep_call"):
@@ -287,6 +296,9 @@ def main():
             summary.add_scalar("meta/reduction_factor", r, step=step)
             summary.add_scalar("meta/prenet_dropout", prenet_dropout,
                                step=step)
+            if ss_enabled:
+                summary.add_scalar("meta/scheduled_sampling_rate",
+                                   float(ss_rate), step=step)
             if mine_zoo_step is not None:
                 # MI scalars sync here (not per step): each float() is a
                 # host<->device round trip

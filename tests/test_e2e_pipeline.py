@@ -231,6 +231,44 @@ def test_serving_apis(workspace):
     assert full.shape[1] == 80 and np.isfinite(full).all()
 
 
+def test_ar_driver_main_with_scheduled_sampling(workspace):
+    """The REAL training CLI with a nonzero scheduled_sampling_schedule:
+    exercises the two-pass exposure-bias step + the ss_rate schedule
+    plumbing through scripts/train_autoregressive.main()."""
+    import sys
+    root, data_dir, config_dir = workspace
+    if not (data_dir / "train_metafile.txt").exists():
+        from etts.data.builders import build_tts_dataset
+        with open(config_dir / "data_config.yaml") as f:
+            build_tts_dataset(yaml.safe_load(f),
+                              phonemizer_backend="grapheme", progress=False)
+    ss_cfg_dir = root / "config_ss"
+    ss_cfg_dir.mkdir(exist_ok=True)
+    with open(config_dir / "data_config.yaml") as f:
+        dc = yaml.safe_load(f)
+    with open(ss_cfg_dir / "data_config.yaml", "w") as f:
+        yaml.safe_dump(dc, f)
+    arch = dict(TINY_ARCH,
+                scheduled_sampling_schedule=[[0, 0.0], [2, 0.5]],
+                metrics_sync_frequency=1)
+    with open(ss_cfg_dir / "autoregressive_config.yaml", "w") as f:
+        yaml.safe_dump(arch, f)
+
+    import subprocess
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, ETTS_FORCE_CPU="1", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="")
+    res = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "train_autoregressive.py"),
+         "--config", str(ss_cfg_dir), "--session_name", "sscli",
+         "--max_steps", "4", "--force"],
+        env=env, capture_output=True, text=True, timeout=560)
+    assert res.returncode == 0, res.stderr[-2000:]
+    from etts.utils import ConfigManager
+    cm = ConfigManager(str(ss_cfg_dir), "autoregressive", "sscli")
+    assert any(cm.weights_dir.iterdir())
+
+
 def test_ar_driver_main_with_mine_zoo(workspace):
     """The REAL training CLI with use_mine on: exercises the fused MINE-zoo
     dispatch, per-net checkpointing, and the deferred MI scalar sync through

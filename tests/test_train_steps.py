@@ -107,6 +107,46 @@ class TestAutoregressiveTraining:
                            r=5)
         assert float(m["style_loss"]) > 0
 
+    def test_scheduled_sampling_zero_rate_matches_plain(self):
+        # ss_rate=0: every mix draw is False, so the two-pass step must be
+        # numerically identical to the plain teacher-forced step
+        model, state, plain, batch, tx = self._setup()
+        ss = make_autoregressive_train_step(model, tx,
+                                            scheduled_sampling=True)
+        key = jax.random.PRNGKey(3)
+        _, m0, _ = plain(state, batch, jnp.zeros(()), key, r=5)
+        _, m1, _ = ss(state, batch, jnp.zeros(()), key, r=5, ss_rate=0.0)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-6)
+
+    def test_scheduled_sampling_full_rate_differs_and_trains(self):
+        model, state, plain, batch, tx = self._setup()
+        ss = make_autoregressive_train_step(model, tx,
+                                            scheduled_sampling=True)
+        key = jax.random.PRNGKey(3)
+        _, m0, _ = plain(state, batch, jnp.zeros(()), key, r=5)
+        losses = []
+        for i in range(8):
+            state, m, _ = ss(state, batch, jnp.zeros(()),
+                             jax.random.fold_in(key, i), r=5, ss_rate=1.0)
+            losses.append(float(m["loss"]))
+            assert np.isfinite(losses[-1])
+        # predicted decoder inputs from random init differ from GT frames
+        assert abs(losses[0] - float(m0["loss"])) > 1e-6
+        assert losses[-1] < losses[0]  # still trains
+
+    def test_scheduled_sampling_rate_is_traced_not_static(self):
+        # ss_rate changes must NOT retrace (schedules run every step)
+        model, state, _, batch, tx = self._setup()
+        ss = make_autoregressive_train_step(model, tx,
+                                            scheduled_sampling=True)
+        key = jax.random.PRNGKey(3)
+        for rate in (0.0, 0.3, 0.7):
+            state, m, _ = ss(state, batch, jnp.zeros(()), key, r=5,
+                             ss_rate=rate)
+        assert np.isfinite(float(m["loss"]))
+        assert ss._cache_size() == 1  # one trace across all rates
+
     def test_mi_hinge_adds_constant(self):
         model, state, step, batch, _ = self._setup()
         key = jax.random.PRNGKey(3)
