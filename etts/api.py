@@ -149,7 +149,10 @@ class TTSSynthesizer:
         out = self._run_decode(inp, ref, spk, max_length, key)
         n = int(out["mel_length"])
         return {"mel": np.asarray(out["mel"][0][:n]),
-                "gst_tokens": out.get("gst_tokens")}
+                "gst_tokens": out.get("gst_tokens"),
+                # per-utterance style signal (the token-bank attention of
+                # the reference encoder); gst_tokens is the CONSTANT bank
+                "gst_attention": out.get("gst_encoder_attention")}
 
     def predict_many(self, texts, ref_mel=None, spk_embed=None,
                      max_length=1000, key=None):

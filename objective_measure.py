@@ -57,7 +57,10 @@ def find_pairs(ref_dir, syn_dir, texts):
             stem = syn.stem.split("__")[0]
             ref = Path(ref_dir) / f"{stem}.wav"
         if ref.exists():
-            pairs.append((str(ref), str(syn), texts.get(syn.stem)))
+            # regime outputs are named text__style__spk.wav; the WER text is
+            # keyed by the text id
+            text = texts.get(syn.stem) or texts.get(syn.stem.split("__")[0])
+            pairs.append((str(ref), str(syn), text))
     return pairs
 
 

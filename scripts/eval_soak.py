@@ -33,6 +33,14 @@ def main():
                              "(same config dir) instead of Griffin-Lim")
     parser.add_argument("--model_kind", type=str, default="autoregressive",
                         choices=["autoregressive", "forward"])
+    parser.add_argument("--int8_gate", action="store_true",
+                        help="PERCEPTUAL int8 acceptance gate (VERDICT r3 "
+                             "do #6): vocode each mel twice (f32 and int8 "
+                             "weight streaming) and gate on the quality "
+                             "delta vs GT (mean dSTOI <= 0.01, dMCD <= 1.0) "
+                             "instead of raw sample-agreement rates. "
+                             "Requires --vocoder_session; int8 streaming "
+                             "exists only on the TPU Pallas path")
     args = parser.parse_args()
 
     import jax
@@ -84,6 +92,9 @@ def main():
         from etts.evalsuite.wer import wer
         transcriber = CTCTranscriber(args.ctc_ckpt)
 
+    if args.int8_gate and vocoder is None:
+        raise SystemExit("--int8_gate requires --vocoder_session")
+    int8_deltas = []
     results = []
     for i, (uid, text) in enumerate(rows):
         gt_path = cfg_dir / "wavs" / f"{uid}.wav"
@@ -98,6 +109,15 @@ def main():
                           key=jax.random.PRNGKey(i))
         mel = out["mel"]
         wav = to_wav(mel, jax.random.PRNGKey(1000 + i))
+        if args.int8_gate and vocoder is not None:
+            wav8 = np.asarray(vocoder.generate(
+                (mel + 4.0) / 8.0, key=jax.random.PRNGKey(1000 + i),
+                int8_weights=True))
+            m8 = compute_all_metrics(np.asarray(gt), wav8, sr)
+            m_f32 = compute_all_metrics(np.asarray(gt), wav, sr)
+            int8_deltas.append((m_f32["STOI"] - m8["STOI"],
+                                m8["MCD"] - m_f32["MCD"]))
+            save_wav(wav8, str(out_dir / "syn" / f"{uid}_int8.wav"), sr)
         syn_path = out_dir / "syn" / f"{uid}.wav"
         save_wav(wav, str(syn_path), sr)
         m = compute_all_metrics(np.asarray(gt), wav, sr)
@@ -158,6 +178,16 @@ def main():
     ratios = [m["mel_frames"] / m["gt_frames"] for m in results]
     print(f"  length ratio syn/gt: mean {np.mean(ratios):.2f} "
           f"min {np.min(ratios):.2f} max {np.max(ratios):.2f}")
+
+    if int8_deltas:
+        d_stoi = float(np.mean([d[0] for d in int8_deltas]))
+        d_mcd = float(np.mean([d[1] for d in int8_deltas]))
+        ok = d_stoi <= 0.01 and d_mcd <= 1.0
+        print(f"\n=== int8 perceptual gate (vs f32, same trained vocoder, "
+              f"{len(int8_deltas)} utts) ===")
+        print(f"  mean dSTOI (f32 - int8): {d_stoi:+.4f}  (gate <= 0.01)")
+        print(f"  mean dMCD  (int8 - f32): {d_mcd:+.3f}  (gate <= 1.0)")
+        print(f"INT8_GATE: {'PASS' if ok else 'FAIL'}")
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ SPEAKERS = {
 
 
 def render(text: str, speaker: str, style_rng: np.random.Generator,
-           entangle_style: bool = False):
+           entangle_style: bool = False, prosody=None):
     """Render one utterance: tone words with speaker timbre and a smooth
     per-utterance prosody contour (pitch scale, energy envelope, tempo).
 
@@ -41,9 +41,18 @@ def render(text: str, speaker: str, style_rng: np.random.Generator,
     construction — the corpus variant for measuring whether MINE training
     actually disentangles (scripts/eval_disentanglement.py); the default
     keeps style independent of text (and the original rng draw order, so
-    existing corpora regenerate bit-identically)."""
+    existing corpora regenerate bit-identically).
+
+    ``prosody=(pitch_scale, tempo, vib_depth, vib_rate)`` pins the contour
+    explicitly — used by eval_expressive_control.py to build controlled
+    style references (the corpus analogue of the reference's
+    sarcasm/commanding/question reference audio,
+    `/root/reference/synthesize_sentences.py:34-73`).
+    """
     harm = SPEAKERS[speaker]
-    if entangle_style:
+    if prosody is not None:
+        pitch_scale, tempo, vib_depth, vib_rate = prosody
+    elif entangle_style:
         frac = list(WORDS).index(text.split()[0]) / (len(WORDS) - 1)
         pitch_scale = 0.9 + 0.2 * frac + style_rng.uniform(-0.01, 0.01)
         tempo = 1.12 - 0.25 * frac + style_rng.uniform(-0.02, 0.02)

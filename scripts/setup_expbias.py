@@ -73,6 +73,21 @@ def main():
         "max_steps": 20000,
         "session_name": None,
     })
+
+    # arm 3: style-consistency fine-tune (expressive control): re-encode the
+    # predicted mel through the style encoder and penalize drift from the
+    # first-pass GST (use_style_loss, reference traning_steps.py:42-50) —
+    # strengthens ref->output prosody coupling, measured by
+    # eval_expressive_control.py
+    style_dir = soak.parent / (soak.name + "_style")
+    build_config_dir(soak, style_dir, {
+        "use_style_loss": True,
+        "max_steps": 20000,
+        "session_name": None,
+    })
+    seed_session(ckroot / a.src_session / "autoregressive_weights",
+                 a.seed_step,
+                 ckroot / f"{style_dir.name}_sc" / "autoregressive_weights")
     print("\nqueue commands:")
     print(f"  python scripts/train_autoregressive.py --config {ss_dir} "
           f"--session_name ft --max_steps 20000")

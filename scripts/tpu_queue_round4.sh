@@ -57,7 +57,23 @@ run vocsoak_gta  python scripts/train_wavernn.py --config .soak \
 run eval_e2e     python scripts/eval_soak.py --config .soak \
                    --session_name curve20k --out_dir .soak/eval/e2e_voc \
                    --checkpoint .soak/checkpoints/.soak_curve20k/autoregressive_weights/14000 \
-                   --ctc_ckpt .soak/ctc_asr.npz --vocoder_session vocsoak
+                   --ctc_ckpt .soak/ctc_asr.npz --vocoder_session vocsoak \
+                   --int8_gate
+
+# --- 2b. expressive-control measurement (VERDICT do #4) ---
+for CK in 14000 20000; do
+  run expr_ctl$CK python scripts/eval_expressive_control.py --config .soak \
+                   --session_name curve20k \
+                   --checkpoint .soak/checkpoints/.soak_curve20k/autoregressive_weights/$CK \
+                   --out_dir .soak/eval/expr_$CK --n_utts 6
+done
+# style-consistency fine-tune arm, then re-measure control
+run stylesc      python scripts/train_autoregressive.py --config .soak_style \
+                   --session_name sc --max_steps 20000 --force
+run expr_ctl_sc  python scripts/eval_expressive_control.py --config .soak_style \
+                   --session_name sc \
+                   --checkpoint .soak/checkpoints/.soak_style_sc/autoregressive_weights/20000 \
+                   --out_dir .soak/eval/expr_sc --n_utts 6
 
 # --- 3. exposure-bias mitigation (VERDICT do #5) ---
 # arm ssft: scheduled-sampling fine-tune of the free-running-best (14k)
@@ -86,6 +102,29 @@ run ent_eval_b   python scripts/eval_disentanglement.py --config .soak_ent_mine 
                    --sessions B --pairs style_text --probe_first_token \
                    --batch_size 64 --max_batches 3 --critic_steps 1500 \
                    --out artifacts/soak/disentangle_mine.csv
+
+# --- 4b. multi-speaker regime protocol end to end (VERDICT do #9) ---
+# the reference's headline evaluation: 4 regimes -> objective_measure ->
+# all_score.log (/root/reference/objective_measure.py:210-311)
+run combos       python scripts/make_combo_file.py \
+                   --metafile .soak/test_metafile.txt \
+                   --out .soak/eval/combos.txt --n 12
+run regimes      python synthesize_sentences_speaker.py --tts_config .soak \
+                   --sessions curve20k \
+                   --test_sentences .soak/test_metafile.txt \
+                   --combo_file .soak/eval/combos.txt \
+                   --ref_audio_dir .soak/wavs --spk_embed_dir .soak/spk_embeds \
+                   --regimes syn_norm rand text_rand style_rand \
+                   --out_dir .soak/eval/regimes --max_length 600 \
+                   --voc_config .soak --voc_session vocsoak
+run regime_score env ETTS_CTC_ASR=.soak/ctc_asr.npz \
+                   python objective_measure.py --ref_dir .soak/wavs \
+                   --syn_dirs .soak/eval/regimes/curve20k/syn_norm \
+                              .soak/eval/regimes/curve20k/rand \
+                              .soak/eval/regimes/curve20k/text_rand \
+                              .soak/eval/regimes/curve20k/style_rand \
+                   --texts .soak/test_metafile.txt \
+                   --out artifacts/soak/all_score_r4.log
 
 # --- 5. always-on-dropout arm (VERDICT do #5, hypothesis test) ---
 run dropt        python scripts/train_autoregressive.py --config .soak_drop \
