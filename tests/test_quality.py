@@ -140,9 +140,9 @@ def test_free_running_decode_quality_and_stop(corpus, baselines, trained):
         max_length=2 * t_mel, key=jax.random.PRNGKey(2),
         prenet_dropout=0.0, stop_enabled=True)
     length = int(np.asarray(out["mel_lengths"])[0])
-    # stop-length sanity band: the stop head must fire near the true length,
-    # neither immediately nor never (2*t_mel is the hard cap)
-    assert 0.6 * t_mel <= length <= 1.5 * t_mel, (length, t_mel)
+    # stop-length band (tightened, VERDICT r3 weak #7): a +25% length
+    # regression must FAIL here, not just total garbling
+    assert 0.85 * t_mel <= length <= 1.2 * t_mel, (length, t_mel)
 
     mel_free = np.asarray(out["mel"][0])[:length]
     wav_free = np.asarray(ap.reconstruct_waveform(
@@ -152,4 +152,4 @@ def test_free_running_decode_quality_and_stop(corpus, baselines, trained):
     # the noise floor and in the oracle's neighborhood
     assert mcd_free < 0.6 * baselines["mcd_noise"], (mcd_free, baselines)
     assert stoi_free > baselines["stoi_noise"] + 0.05, (stoi_free, baselines)
-    assert mcd_free < baselines["mcd_oracle"] * 2.5, (mcd_free, baselines)
+    assert mcd_free < baselines["mcd_oracle"] * 2.0, (mcd_free, baselines)
