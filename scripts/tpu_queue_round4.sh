@@ -89,7 +89,7 @@ for CK in 16000 18000 20000; do
 done
 
 # --- 4. disentanglement experiment (VERDICT do #3) ---
-run ent_setup    python /tmp/ent_tpu_setup.py
+run ent_setup    python scripts/setup_disentangle.py
 run ent_base     python scripts/train_autoregressive.py --config .soak_ent_base \
                    --session_name A --max_steps 10000 --force
 run ent_mine     python scripts/train_autoregressive.py --config .soak_ent_mine \
