@@ -111,6 +111,7 @@ run combos       python scripts/make_combo_file.py \
                    --out .soak/eval/combos.txt --n 12
 run regimes      python synthesize_sentences_speaker.py --tts_config .soak \
                    --sessions curve20k \
+                   --checkpoint .soak/checkpoints/.soak_curve20k/autoregressive_weights/14000 \
                    --test_sentences .soak/test_metafile.txt \
                    --combo_file .soak/eval/combos.txt \
                    --ref_audio_dir .soak/wavs --spk_embed_dir .soak/spk_embeds \

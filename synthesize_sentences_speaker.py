@@ -55,6 +55,10 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--int8", action="store_true",
                         help="int8 vocoder kernel weights (halves the VMEM weight stream)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="restore this weights step dir instead of the "
+                             "latest (exposure bias: free-running quality "
+                             "peaks before train loss does, SOAK_NOTES.md)")
     args = parser.parse_args()
 
     from etts.utils.xla_cache import force_cpu_if_requested
@@ -78,7 +82,8 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     for session in args.sessions:
-        tts = TTSSynthesizer(args.tts_config, session)
+        tts = TTSSynthesizer(args.tts_config, session,
+                             checkpoint=args.checkpoint)
         sr = tts.config["sampling_rate"]
         for regime in args.regimes:
             out_dir = Path(args.out_dir) / (session or "default") / regime
