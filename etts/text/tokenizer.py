@@ -115,6 +115,9 @@ class Phonemizer:
             self.backend = EspeakBackend(language, with_stress)
         elif backend == 'grapheme':
             self.backend = GraphemeBackend(language, with_stress)
+        elif backend == 'rule':
+            from .rule_g2p import RuleG2PBackend
+            self.backend = RuleG2PBackend(language, with_stress)
         else:
             try:
                 self.backend = EspeakBackend(language, with_stress)

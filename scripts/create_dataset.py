@@ -19,7 +19,7 @@ def main():
     parser.add_argument("--recompute_phon", dest="RECOMPUTE_PHON",
                         action="store_true")
     parser.add_argument("--phonemizer_backend", type=str, default=None,
-                        choices=[None, "espeak", "grapheme"])
+                        choices=[None, "espeak", "grapheme", "rule"])
     args = parser.parse_args()
     with open(Path(args.CONFIG) / "data_config.yaml") as f:
         config = yaml.safe_load(f)
