@@ -109,6 +109,8 @@ def build_tts_dataset(config: dict, *, cache_phonemes=True,
     mel_dir.mkdir(parents=True, exist_ok=True)
 
     phon_path = target_dir / "phonemes.npy"
+    phonemizer_backend = phonemizer_backend or config.get(
+        "phonemizer_backend")
     pipeline = Pipeline.default_training_pipeline(
         config["phoneme_language"], add_start_end=True, with_stress=False,
         backend=phonemizer_backend)

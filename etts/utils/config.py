@@ -133,6 +133,10 @@ class ConfigManager:
         from ..text import Pipeline
         maker = (Pipeline.default_training_pipeline if training
                  else Pipeline.default_pipeline)
+        # honor the backend the dataset was BUILT with (create_dataset
+        # records it in data_config.yaml) so inference phonemization can
+        # never silently mismatch the training vocabulary
+        backend = backend or self.config.get("phonemizer_backend")
         return maker(self.config["phoneme_language"],
                      add_start_end=(self.model_kind == "autoregressive"),
                      with_stress=self.config.get("with_stress", False),

@@ -27,6 +27,16 @@ def main():
                             recompute_phonemes=args.RECOMPUTE_PHON,
                             column_sep=args.COLUMN_SEP, njobs=args.NJOBS,
                             phonemizer_backend=args.phonemizer_backend)
+    if args.phonemizer_backend:
+        # record the backend so training/inference pipelines phonemize with
+        # the same vocabulary the dataset was built with
+        cfg_path = Path(args.CONFIG) / "data_config.yaml"
+        with open(cfg_path) as f:
+            dc = yaml.safe_load(f)
+        if dc.get("phonemizer_backend") != args.phonemizer_backend:
+            dc["phonemizer_backend"] = args.phonemizer_backend
+            with open(cfg_path, "w") as f:
+                yaml.safe_dump(dc, f)
     print(f"\nDone. Dataset written to {out}")
 
 
