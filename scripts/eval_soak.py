@@ -31,6 +31,16 @@ def main():
     parser.add_argument("--vocoder_session", type=str, default=None,
                         help="vocode with this trained WaveRNN session "
                              "(same config dir) instead of Griffin-Lim")
+    parser.add_argument("--voc_config", type=str, default=None,
+                        help="config dir for the vocoder session when its "
+                             "architecture differs from --config (e.g. the "
+                             "CPU-scale contingency vocoder)")
+    parser.add_argument("--also_gl", action="store_true",
+                        help="with --vocoder_session: additionally "
+                             "Griffin-Lim every synthesized mel and score "
+                             "it, so one run yields the neural-vs-GL "
+                             "comparison from the SAME mels (VERDICT r3 "
+                             "missing #1 'done' criterion)")
     parser.add_argument("--model_kind", type=str, default="autoregressive",
                         choices=["autoregressive", "forward"])
     parser.add_argument("--int8_gate", action="store_true",
@@ -63,7 +73,8 @@ def main():
     vocoder = None
     if args.vocoder_session:
         from etts.api import VocoderSynthesizer
-        vocoder = VocoderSynthesizer(args.config, args.vocoder_session)
+        vocoder = VocoderSynthesizer(args.voc_config or args.config,
+                                     args.vocoder_session)
 
     def to_wav(mel_t80, key):
         """TTS mel (t, 80) in [-4, 4] -> waveform (trained WaveRNN when
@@ -94,8 +105,16 @@ def main():
 
     if args.int8_gate and vocoder is None:
         raise SystemExit("--int8_gate requires --vocoder_session")
+    if args.also_gl and vocoder is None:
+        raise SystemExit("--also_gl requires --vocoder_session")
+
+    def gl_wav(mel_t80):
+        return np.asarray(tts.audio.reconstruct_waveform(mel_t80.T,
+                                                         n_iter=32))
+
     int8_deltas = []
     results = []
+    gl_results = []
     for i, (uid, text) in enumerate(rows):
         gt_path = cfg_dir / "wavs" / f"{uid}.wav"
         gt, _ = load_wav(str(gt_path), sr)
@@ -120,6 +139,13 @@ def main():
             save_wav(wav8, str(out_dir / "syn" / f"{uid}_int8.wav"), sr)
         syn_path = out_dir / "syn" / f"{uid}.wav"
         save_wav(wav, str(syn_path), sr)
+        if args.also_gl:
+            wgl = gl_wav(mel)
+            mg = compute_all_metrics(np.asarray(gt), wgl, sr)
+            if transcriber is not None:
+                mg["WER_syn"] = wer(text, transcriber.transcribe_wav(wgl, sr))
+            gl_results.append(mg)
+            save_wav(wgl, str(out_dir / "syn" / f"{uid}_gl.wav"), sr)
         m = compute_all_metrics(np.asarray(gt), wav, sr)
         m["file"] = uid
         m["mel_frames"] = mel.shape[0]
@@ -175,6 +201,12 @@ def main():
         if k in base[0]:
             line += f"   noise {agg(base, k):8.3f}"
         print(line)
+    if gl_results:
+        print("\n=== neural vocoder vs Griffin-Lim (SAME synthesized mels) ===")
+        for k in keys:
+            if k in gl_results[0]:
+                print(f"  {k:12s} neural {agg(results, k):8.3f}   "
+                      f"GL {agg(gl_results, k):8.3f}")
     ratios = [m["mel_frames"] / m["gt_frames"] for m in results]
     print(f"  length ratio syn/gt: mean {np.mean(ratios):.2f} "
           f"min {np.min(ratios):.2f} max {np.max(ratios):.2f}")

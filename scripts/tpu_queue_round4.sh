@@ -15,6 +15,13 @@ cd /root/repo
 export PYTHONUNBUFFERED=1
 mkdir -p artifacts/soak/r4
 
+# the tunnel is back: reclaim the 1-core host from the CPU contingency so
+# TPU jobs' input pipelines aren't starved (scripts/cpu_contingency_round4.sh)
+if [ -f /tmp/cpu_contingency.pid ]; then
+  kill "$(cat /tmp/cpu_contingency.pid)" 2>/dev/null || true
+  rm -f /tmp/cpu_contingency.pid
+fi
+
 tcp_ok() {
   python -c "import socket;socket.create_connection(('127.0.0.1',8113),3).close()" 2>/dev/null
 }
@@ -88,7 +95,7 @@ run eval_e2e     python scripts/eval_soak.py --config .soak \
                    --session_name curve20k --out_dir .soak/eval/e2e_voc \
                    --checkpoint .soak/checkpoints/.soak_curve20k/autoregressive_weights/14000 \
                    --ctc_ckpt .soak/ctc_asr.npz --vocoder_session vocsoak \
-                   --int8_gate
+                   --int8_gate --also_gl
 
 # --- 3. disentanglement experiment (VERDICT do #3, missing #2) ---
 run ent_setup    python scripts/setup_disentangle.py
