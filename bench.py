@@ -915,13 +915,28 @@ def _probe_backend() -> None:
     except subprocess.TimeoutExpired:
         err = f"probe hung > {budget}s (backend init blocked)"
     if err is not None:
+        # carry the last driver-captured GOOD record forward so an outage
+        # round's archive still states the best-known device truth
+        last_good = None
+        for rec in ("BENCH_r02.json", "BENCH_r01.json"):
+            try:
+                with open(os.path.join(os.path.dirname(__file__), rec)) as f:
+                    parsed = json.load(f).get("parsed")
+                if parsed and parsed.get("value") is not None:
+                    last_good = {"record": rec, "metric": parsed["metric"],
+                                 "value": parsed["value"],
+                                 "vs_baseline": parsed.get("vs_baseline")}
+                    break
+            except (OSError, ValueError):
+                continue
         print(json.dumps({
             "metric": "rtf_text_to_wav", "value": None, "unit": "ratio",
             "vs_baseline": None,
             "error": "backend_unavailable",
             "extras": {"requested_platforms":
                        os.environ.get("JAX_PLATFORMS", ""),
-                       "detail": err}}))
+                       "detail": err,
+                       "last_good": last_good}}))
         sys.exit(0)  # the JSON line IS the record; rc=0 keeps it archived
 
 
