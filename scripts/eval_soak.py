@@ -52,6 +52,11 @@ def main():
                              "Requires --vocoder_session; int8 streaming "
                              "exists only on the TPU Pallas path")
     args = parser.parse_args()
+    # fail fast on flag-dependency misuse, before any model loading
+    if args.int8_gate and not args.vocoder_session:
+        raise SystemExit("--int8_gate requires --vocoder_session")
+    if args.also_gl and not args.vocoder_session:
+        raise SystemExit("--also_gl requires --vocoder_session")
 
     import jax
     from etts.api import TTSSynthesizer
@@ -102,11 +107,6 @@ def main():
         from etts.evalsuite.ctc_asr import CTCTranscriber
         from etts.evalsuite.wer import wer
         transcriber = CTCTranscriber(args.ctc_ckpt)
-
-    if args.int8_gate and vocoder is None:
-        raise SystemExit("--int8_gate requires --vocoder_session")
-    if args.also_gl and vocoder is None:
-        raise SystemExit("--also_gl requires --vocoder_session")
 
     def gl_wav(mel_t80):
         return np.asarray(tts.audio.reconstruct_waveform(mel_t80.T,

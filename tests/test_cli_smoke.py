@@ -58,3 +58,20 @@ def test_graft_entry_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.entry) and callable(mod.dryrun_multichip)
+
+
+def test_eval_soak_flag_dependencies_fail_fast():
+    """--int8_gate / --also_gl without --vocoder_session must exit before
+    any model loading (a queue job must not burn minutes to hit the check)."""
+    for flag in ("--int8_gate", "--also_gl"):
+        out = subprocess.run(
+            [sys.executable, str(ROOT / "scripts/eval_soak.py"),
+             "--config", "x", "--session_name", "s", "--out_dir", "/tmp/o",
+             flag],
+            capture_output=True, text=True, timeout=120,
+            env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+                 "JAX_PLATFORMS": "cpu", "HOME": "/root",
+                 "PYTHONPATH": str(ROOT)},
+        )
+        assert out.returncode != 0
+        assert "requires --vocoder_session" in out.stderr
