@@ -30,10 +30,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 OUTPUT_FLAGS = {"--out", "--out_dir", "--out_path", "--profile_dir"}
 # Prefixes a setup/train job in the queue creates before they are consumed.
-CREATED_BY_QUEUE = (
-    ".soak_ent_base", ".soak_ent_mine", ".soak_ss", ".soak_style",
-    ".soak_drop", ".soak/checkpoints/", ".soak/eval/",
-)
+# Since the 2026-08-18 host wipe the whole .soak* tree is queue-created
+# (scripts/bootstrap_soak_r4.sh + the curve20k retrain + the setup_* jobs).
+CREATED_BY_QUEUE = (".soak",)
 
 
 def parse_queue(path: Path):

@@ -82,6 +82,14 @@ run bench_main   python bench.py
 run bench_serve  python bench.py --serve
 run bench_curve  python bench.py --train_curve
 
+# --- 1b. rebuild wiped state (2026-08-18 VM reboot deleted all untracked
+# state: .soak corpus/dataset/CTC/voc store and every orbax checkpoint).
+# bootstrap is deterministic CPU rebuild; curve20k retrains the 20k-step
+# checkpoint-curve session so downstream jobs get genuine checkpoints. ---
+run bootstrap    bash scripts/bootstrap_soak_r4.sh
+run curve20k     python scripts/train_autoregressive.py --config .soak \
+                   --session_name curve20k --max_steps 20000 --force
+
 # --- 2. trained vocoder + fully neural E2E (VERDICT do #2, missing #1) ---
 run vocsoak      python scripts/train_wavernn.py --config .soak \
                    --data .soak/voc --session_name vocsoak --max_steps 4000
