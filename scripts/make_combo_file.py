@@ -21,7 +21,9 @@ def main():
            if "|" in line]
     rng = np.random.default_rng(a.seed)
     rows = ["|".join(rng.choice(ids, 3)) for _ in range(a.n)]
-    Path(a.out).write_text("\n".join(rows) + "\n", encoding="utf-8")
+    out = Path(a.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text("\n".join(rows) + "\n", encoding="utf-8")
     print(f"wrote {a.n} combos to {a.out}")
 
 
