@@ -75,3 +75,22 @@ def test_eval_soak_flag_dependencies_fail_fast():
         )
         assert out.returncode != 0
         assert "requires --vocoder_session" in out.stderr
+
+
+def test_make_combo_file_creates_parent_dirs(tmp_path):
+    """Regression: the queue passes --out into a not-yet-existing eval dir."""
+    meta = tmp_path / "meta.txt"
+    meta.write_text("id1|one.\nid2|two.\nid3|three.\n", encoding="utf-8")
+    out = tmp_path / "deep" / "nested" / "combos.txt"
+    res = subprocess.run(
+        [sys.executable, str(ROOT / "scripts/make_combo_file.py"),
+         "--metafile", str(meta), "--out", str(out), "--n", "4"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": str(ROOT)},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rows = out.read_text(encoding="utf-8").splitlines()
+    assert len(rows) == 4
+    assert all(len(r.split("|")) == 3 for r in rows)
