@@ -216,6 +216,19 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
     and feedback sample across streaming chunks (padded tail steps past T do
     not advance it)."""
     T, B, C = cond.shape
+    # Mosaic sublane alignment: the (B, d)/(B, LANE) state buffers and the
+    # (chunk, B) output block want the row count padded to a multiple of 8
+    # once it exceeds one sublane tile. Empirically on v5e: B in {1..8} and
+    # multiples of 8 up to 56 run fine, but B=11 hard-crashes the TPU worker
+    # (round-4 `regimes` job). Dead rows ride along ~free (the loop is
+    # weight-stream-bound) and are sliced off below.
+    B_real = B
+    B = _round_up(B, 8) if B > 1 else B
+    if B != B_real:
+        cond = jnp.pad(cond, ((0, 0), (0, B - B_real), (0, 0)))
+        if state is not None:
+            state = {k: jnp.pad(v, ((0, B - B_real), (0, 0)))
+                     for k, v in state.items()}
     d = wi1.shape[0]
     fc = wf1x.shape[1]
     nr_mix = wf3.shape[1] // 3 if mode == "MOL" else 0
@@ -336,5 +349,6 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(*operands)
     if return_state:
-        return out[:T], {"h1": h1o, "h2": h2o, "x": xo}
-    return out[:T]
+        return out[:T, :B_real], {"h1": h1o[:B_real], "h2": h2o[:B_real],
+                                  "x": xo[:B_real]}
+    return out[:T, :B_real]

@@ -51,8 +51,12 @@ def main():
     a = p.parse_args()
 
     soak = Path(a.soak_dir).resolve()
+    # log_directory lives in data_config.yaml (the two-YAML merge puts paths
+    # there, not in autoregressive_config.yaml)
     ckroot = Path(yaml.safe_load(
-        (soak / "autoregressive_config.yaml").read_text())["log_directory"])
+        (soak / "data_config.yaml").read_text())["log_directory"])
+    if not ckroot.is_absolute():
+        ckroot = soak.parent / ckroot
 
     # arm 1: scheduled-sampling fine-tune from the free-running-best ckpt
     ss_dir = soak.parent / (soak.name + "_ss")

@@ -57,9 +57,10 @@ def _scan_reference(cond, w, sample_fn):
     """Pure-jnp replication of the kernel recurrence with injected sampling."""
     cond = cond.astype(jnp.float32)
     d = D
-    h1 = jnp.zeros((B, d))
-    h2 = jnp.zeros((B, d))
-    x_prev = jnp.zeros((B, 1))
+    b = cond.shape[1]
+    h1 = jnp.zeros((b, d))
+    h2 = jnp.zeros((b, d))
+    x_prev = jnp.zeros((b, 1))
     logits_all = []
     for t in range(T):
         c = cond[t]
@@ -107,6 +108,28 @@ class TestKernelInterpret:
         logits_ref = _scan_reference(cond, w, sample_fn)
         want = 2.0 * jnp.argmax(logits_ref, -1) / (n_classes - 1.0) - 1.0
         got = _call_kernel(cond, w, seed=3, mode="RAW", n_classes=n_classes)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_raw_unaligned_row_count(self):
+        """B=11 (not a sublane multiple) must pad internally and still match
+        the scan reference row-for-row — regression for the round-4 `regimes`
+        TPU crash (generate() hands the kernel unpadded fold counts)."""
+        key = jax.random.PRNGKey(6)
+        n_classes = 16
+        w = _weights(key, n_classes)
+        w["wf3"] = w["wf3"] * 100.0
+        cond = jax.random.normal(jax.random.fold_in(key, 7),
+                                 (T, 11, FEAT + 4 * ADIM)) * 0.1
+
+        def sample_fn(logits):
+            cls = jnp.argmax(logits, -1).astype(jnp.float32)
+            return (2.0 * cls / (n_classes - 1.0) - 1.0)[:, None]
+
+        logits_ref = _scan_reference(cond, w, sample_fn)
+        want = 2.0 * jnp.argmax(logits_ref, -1) / (n_classes - 1.0) - 1.0
+        got = _call_kernel(cond, w, seed=9, mode="RAW", n_classes=n_classes)
+        assert got.shape == (T, 11)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
 
