@@ -274,12 +274,14 @@ class VocoderSynthesizer:
                           "batch_stats": tree["batch_stats"]}
 
     def generate(self, mel, batched=None, target=None, overlap=None,
-                 mu_law=None, key=None, int8_weights=None):
+                 mu_law=None, key=None, int8_weights=None, use_pallas=None):
         """mel: (t, n_mels) in WaveRNN's [0, 1] convention -> waveform.
 
         ``int8_weights=True`` streams per-column-quantized kernel weights
         (f32 accumulate) — ~half the VMEM weight traffic that floors the
-        sample-step time; config default key ``voc_int8_weights``."""
+        sample-step time; config default key ``voc_int8_weights``.
+        ``use_pallas=False`` forces the lax.scan sample loop (the fused
+        kernel's fallback; ~10x slower but geometry-independent)."""
         from .models.wavernn import generate as _generate
         c = self.config
         return np.asarray(_generate(
@@ -288,7 +290,8 @@ class VocoderSynthesizer:
             target=c.get("voc_target", 11000) if target is None else target,
             overlap=c.get("voc_overlap", 550) if overlap is None else overlap,
             mu_law=c.get("mu_law", True) if mu_law is None else mu_law,
-            key=key, int8_weights=self._int8(int8_weights)))
+            key=key, int8_weights=self._int8(int8_weights),
+            use_pallas=use_pallas))
 
     def generate_many(self, mels, target=None, overlap=None, mu_law=None,
                       key=None, int8_weights=None):

@@ -55,6 +55,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--int8", action="store_true",
                         help="int8 vocoder kernel weights (halves the VMEM weight stream)")
+    parser.add_argument("--voc_scan", action="store_true",
+                        help="force the lax.scan vocoder sample loop (skip "
+                             "the fused Pallas kernel; slower but "
+                             "geometry-independent — long-mel fold counts "
+                             "can still fault the kernel, see ROADMAP)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="restore this weights step dir instead of the "
                              "latest (exposure bias: free-running quality "
@@ -117,7 +122,9 @@ def main():
                 mel = out["mel"]
                 if voc is not None:
                     wav = voc.generate((mel + 4.0) / 8.0,
-                                       int8_weights=args.int8 or None)
+                                       int8_weights=args.int8 or None,
+                                       use_pallas=False if args.voc_scan
+                                       else None)
                 else:
                     wav = np.asarray(tts.audio.reconstruct_waveform(mel.T))
                 name = f"{text_id}__{style_id}__{spk_id}"
