@@ -94,7 +94,13 @@ def main():
             out_dir = Path(args.out_dir) / (session or "default") / regime
             out_dir.mkdir(parents=True, exist_ok=True)
             for i, (text_id, style_id, spk_id) in enumerate(combos):
-                if regime == "rand":
+                if regime == "syn_norm":
+                    # matched regime: the sentence's own reference audio and
+                    # speaker embedding (reference objective_measure.py
+                    # "syn_norm" = normal synthesis, all conditioning from
+                    # the target utterance itself)
+                    style_id = spk_id = text_id
+                elif regime == "rand":
                     pass  # combo file already holds random triples
                 elif regime == "text_rand":
                     text_id = combos[rng.integers(len(combos))][0]
