@@ -1,0 +1,108 @@
+"""Bisect the WaveRNN Pallas kernel's long-mel TPU fault (ROADMAP r5 #5).
+
+Round-4 evidence: the fused sample loop (`etts/ops/pallas/wavernn_cell.py`)
+deterministically crashes the v5e worker on the regime protocol's long-mel
+vocodes (~10 fold rows -> padded B=16, T=12100 per fold) while B in {1..8}
+and B=56/T=12100 (bench --serve) run fine, and the same mels vocode cleanly
+through the lax.scan loop (so the data is finite; the fault is the kernel).
+
+This sweep runs each (B, T) geometry in a SUBPROCESS with synthetic finite
+conditioning, so a worker crash marks one grid point and the sweep
+continues after the backend recovers. Run on the TPU host:
+
+    python scripts/bisect_wavernn_kernel.py            # default grid
+    python scripts/bisect_wavernn_kernel.py --bs 10 16 24 --ts 6050 12100
+
+Interpretation: CRASH at (16, 12100) but PASS at (16, 6050) points at the
+grid-step count (T_pad/chunk) interacting with the padded-B layout; CRASH
+only when cond comes from a real runaway mel would point at data after all.
+Reference for the serving contract this kernel accelerates:
+`/root/reference/WaveRNN/models/fatchord_version.py:180-220`.
+"""
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import _bootstrap  # noqa: E402,F401
+
+CHILD = r"""
+import sys
+import jax, jax.numpy as jnp
+B, T, mode = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, "/root/repo")
+from etts.ops.pallas.wavernn_cell import wavernn_sample_loop
+
+d, fc, feat, adim = 512, 512, 80, 32
+n_out = 30 if mode == "MOL" else 512
+k = jax.random.PRNGKey(0)
+ks = iter(jax.random.split(k, 24))
+s = 0.08
+w = lambda shape: jax.random.normal(next(ks), shape, jnp.float32) * s
+cond = jax.random.normal(next(ks), (T, B, feat + 4 * adim)) * 0.5
+out = wavernn_sample_loop(
+    cond, w((1 + feat + adim, d)), w((d,)),
+    w((d, 3 * d)), w((d, 3 * d)), w((3 * d,)), w((3 * d,)),
+    w((d, 3 * d)), w((adim, 3 * d)), w((d, 3 * d)), w((3 * d,)), w((3 * d,)),
+    w((d, fc)), w((adim, fc)), w((fc,)),
+    w((fc, fc)), w((adim, fc)), w((fc,)),
+    w((fc, n_out)), w((n_out,)), seed=7,
+    feat=feat, adim=adim, mode=mode, n_classes=n_out)
+out.block_until_ready()
+import numpy as np
+assert np.isfinite(np.asarray(out[-8:])).all()
+print("CHILD_OK", out.shape)
+"""
+
+
+def probe(timeout=300):
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax,jax.numpy as jnp;"
+         "jax.jit(lambda a:a+1)(jnp.zeros(())).block_until_ready();"
+         "print('TPU OK')"],
+        capture_output=True, text=True, timeout=timeout)
+    return r.returncode == 0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bs", type=int, nargs="*", default=[8, 10, 16, 24, 56])
+    p.add_argument("--ts", type=int, nargs="*", default=[6050, 12100])
+    p.add_argument("--mode", default="MOL", choices=["MOL", "RAW"])
+    p.add_argument("--timeout", type=int, default=600)
+    p.add_argument("--out", default="artifacts/soak/kernel_bisect.json")
+    a = p.parse_args()
+
+    results = {}
+    for T in a.ts:
+        for B in a.bs:
+            key = f"B{B}_T{T}"
+            r = subprocess.run(
+                [sys.executable, "-c", CHILD, str(B), str(T), a.mode],
+                capture_output=True, text=True, timeout=a.timeout)
+            ok = r.returncode == 0 and "CHILD_OK" in r.stdout
+            results[key] = "PASS" if ok else "CRASH"
+            print(f"{key}: {results[key]}"
+                  + ("" if ok else f"  [{r.stderr.strip().splitlines()[-1][:120] if r.stderr.strip() else 'no stderr'}]"),
+                  flush=True)
+            if not ok:
+                # worker may be restarting; wait for the backend before the
+                # next grid point so one crash doesn't cascade
+                for _ in range(20):
+                    time.sleep(30)
+                    try:
+                        if probe():
+                            break
+                    except subprocess.TimeoutExpired:
+                        pass
+    Path(a.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(a.out).write_text(json.dumps(results, indent=1))
+    print(f"wrote {a.out}")
+
+
+if __name__ == "__main__":
+    main()
