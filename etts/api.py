@@ -35,15 +35,21 @@ class TTSSynthesizer:
         self.audio = AudioProcessor(self.config)
         self.pipeline = self.cm.get_text_pipeline()
         self._decode_cache = {}
+        # free-running runaway guards (etts.models.autoregressive docstring);
+        # config defaults, overridable per predict() call
+        self.attn_stop_patience = self.config.get("attn_stop_patience")
+        self.max_frames_per_token = self.config.get("max_frames_per_token")
 
     def encode_text(self, text: str):
         return np.asarray(self.pipeline(text), np.int32)
 
-    def _decode_fn(self, max_length: int):
+    def _decode_fn(self, max_length: int, attn_stop_patience=None,
+                   max_frames_per_token=None):
         """Cached jitted AR decode (the whole encode+while_loop as ONE XLA
         program; eager lax dispatch costs ~100x for serving). Retraces per
         (batch, text_len, ref_len) shape bucket inside jax.jit's own cache."""
-        if max_length not in self._decode_cache:
+        ck = (max_length, attn_stop_patience, max_frames_per_token)
+        if ck not in self._decode_cache:
             from .models.autoregressive import autoregressive_predict
 
             @jax.jit
@@ -51,10 +57,12 @@ class TTSSynthesizer:
                 return autoregressive_predict(
                     self.model, variables, inp, ref, spk, r=self.r,
                     max_length=max_length, key=key,
-                    prenet_dropout=self.prenet_dropout)
+                    prenet_dropout=self.prenet_dropout,
+                    attn_stop_patience=attn_stop_patience,
+                    max_frames_per_token=max_frames_per_token)
 
-            self._decode_cache[max_length] = fn
-        return self._decode_cache[max_length]
+            self._decode_cache[ck] = fn
+        return self._decode_cache[ck]
 
     def _can_fuse(self) -> bool:
         """Fused Pallas decode supports: TPU, any reduction factor r,
@@ -103,12 +111,19 @@ class TTSSynthesizer:
             self._decode_cache[ck] = fn
         return self._decode_cache[ck]
 
-    def _run_decode(self, inp, ref, spk, max_length, key):
+    def _run_decode(self, inp, ref, spk, max_length, key,
+                    attn_stop_patience=None, max_frames_per_token=None):
         key = key if key is not None else jax.random.PRNGKey(0)
-        if inp.shape[0] == 1 and self._can_fuse():
+        asp = (self.attn_stop_patience if attn_stop_patience is None
+               else (attn_stop_patience or None))
+        mft = (self.max_frames_per_token if max_frames_per_token is None
+               else (max_frames_per_token or None))
+        # the fused Pallas kernel has no attention readback — the runaway
+        # guards run on the while_loop path
+        if inp.shape[0] == 1 and self._can_fuse() and asp is None and mft is None:
             fn = self._fused_fn(max_length)
         else:
-            fn = self._decode_fn(max_length)
+            fn = self._decode_fn(max_length, asp, mft)
         return fn(self.variables, inp,
                   ref if self.model.has_style else None,
                   spk if self.model.has_speaker else None, key)
@@ -127,7 +142,8 @@ class TTSSynthesizer:
                 "control")
 
     def predict(self, text, ref_mel=None, spk_embed=None, max_length=1000,
-                key=None, speed_regulator=1.0):
+                key=None, speed_regulator=1.0,
+                attn_stop_patience=None, max_frames_per_token=None):
         if self.cm.model_kind == "forward":
             self._reject_forward_conditioning(ref_mel, spk_embed)
             out = self.model.apply(
@@ -146,7 +162,8 @@ class TTSSynthesizer:
         if spk_embed is not None:
             spk = jnp.asarray(spk_embed).reshape(1, 1, -1)
         self._check_conditioning(ref, spk)
-        out = self._run_decode(inp, ref, spk, max_length, key)
+        out = self._run_decode(inp, ref, spk, max_length, key,
+                               attn_stop_patience, max_frames_per_token)
         n = int(out["mel_length"])
         return {"mel": np.asarray(out["mel"][0][:n]),
                 "gst_tokens": out.get("gst_tokens"),
@@ -155,7 +172,8 @@ class TTSSynthesizer:
                 "gst_attention": out.get("gst_encoder_attention")}
 
     def predict_many(self, texts, ref_mel=None, spk_embed=None,
-                     max_length=1000, key=None):
+                     max_length=1000, key=None,
+                     attn_stop_patience=None, max_frames_per_token=None):
         """Batch-synthesize several sentences in ONE decode (serving path):
         token sequences pad to a common length, the while_loop decodes all
         rows with per-utterance stop tracking. Returns a list of mels."""
@@ -173,7 +191,8 @@ class TTSSynthesizer:
             spk = jnp.tile(jnp.asarray(spk_embed).reshape(1, 1, -1),
                            (len(seqs), 1, 1))
         self._check_conditioning(ref, spk)
-        out = self._run_decode(jnp.asarray(inp), ref, spk, max_length, key)
+        out = self._run_decode(jnp.asarray(inp), ref, spk, max_length, key,
+                               attn_stop_patience, max_frames_per_token)
         lengths = np.asarray(out["mel_lengths"])
         return [np.asarray(out["mel"][i][:int(lengths[i])])
                 for i in range(len(seqs))]

@@ -186,19 +186,29 @@ class AutoregressiveTransformer(nn.Module):
 
     def decode_step(self, new_frame, encoder_output, encoder_padding_mask_,
                     caches, cache_index, r: int = 1,
-                    prenet_dropout: float = 0.5, drop_n_heads=0):
+                    prenet_dropout: float = 0.5, drop_n_heads=0,
+                    return_attention: bool = False):
         """One incremental decode step with KV caches.
 
-        new_frame: (b, 1, mel). Returns (mel_linear_r (b, r, mel), new_caches).
+        new_frame: (b, 1, mel). Returns (mel_linear_r (b, r, mel), new_caches),
+        plus the LAST block's cross-attention (b, heads, 1, n_enc) when
+        ``return_attention`` — the same signal duration extraction reads
+        (`extract_durations.py:113-120`), here powering the attention-
+        completion stop in ``autoregressive_predict``.
         """
         dec_input = self.decoder_prenet(new_frame, prenet_dropout)
-        dec_output, _, new_caches = self.decoder(
+        dec_output, attn, new_caches = self.decoder(
             dec_input, encoder_output, None, encoder_padding_mask_,
             train=False, drop_n_heads=drop_n_heads, reduction_factor=r,
             caches=caches, cache_index=cache_index, pos_offset=cache_index)
         out_proj = self.final_proj_mel(dec_output)[:, :, :r * self.mel_channels]
         b = out_proj.shape[0]
         mel = out_proj.reshape(b, r, self.mel_channels)
+        if return_attention:
+            # insertion order = block order; the final dict entry is the last
+            # decoder block (the one duration extraction reads)
+            last_key = list(attn)[-1] if attn else None
+            return mel, new_caches, (attn[last_key] if last_key else None)
         return mel, new_caches
 
     def postnet_forward(self, mel_window):
@@ -300,7 +310,9 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
                            r: int = 1, max_length: int = 1000,
                            key: Optional[jax.Array] = None,
                            prenet_dropout: float = 0.5,
-                           stop_enabled: bool = True):
+                           stop_enabled: bool = True,
+                           attn_stop_patience: Optional[int] = None,
+                           max_frames_per_token: Optional[float] = None):
     """jit-compilable greedy AR decode with stop-token early exit.
 
     inputs: (b, n) token ids; ref_mel (already r-strided via
@@ -308,11 +320,26 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
     spk_embed (b, 1, d) when system uses speakers.
     Returns dict with 'mel' (b, max_steps*r, mel) and 'mel_length' (b,) —
     callers slice mel[:, :mel_length] host-side.
+
+    Free-running length-runaway guards (both opt-in, default off = exact
+    reference semantics; ROADMAP r5 #3 — the trained mitigation arms all
+    measured worse than the baseline, so the operative fix is decode-time):
+
+    - ``attn_stop_patience=N``: ALSO stop an utterance once the last decoder
+      block's cross-attention has focused on its final real token for N
+      consecutive steps ("text consumed" — the same signal duration
+      extraction trusts, `utils/alignments.py:87-165`). Catches stop-head
+      misses, the dominant runaway mode.
+    - ``max_frames_per_token=F``: hard per-utterance cap of F output frames
+      per real input token (a text-proportional ceiling instead of the
+      reference's one global max_length). Catches attention loops.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     b = inputs.shape[0]
     max_steps = int(max_length) // r + 1
+    n_real = jnp.sum((inputs != 0).astype(jnp.int32), axis=1)  # (b,) tokens
+    want_attn = attn_stop_patience is not None
     mel_ch = model.mel_channels
     # postnet receptive field: n_layers causal convs of kernel k
     ctx = model.postnet_conv_layers * (model.postnet_kernel_size - 1)
@@ -337,13 +364,19 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
         return jnp.logical_and(i < max_steps, jnp.logical_not(stopped_vec.all()))
 
     def body(carry):
-        i, stopped_vec, last, caches, lin_buf, out_buf, lengths = carry
+        (i, stopped_vec, last, caches, lin_buf, out_buf, lengths,
+         attn_ctr) = carry
         k1, k2 = jax.random.split(jax.random.fold_in(dkey, i))
-        mel_r, new_caches = model.apply(
+        step_out = model.apply(
             variables, last, enc_out, cross_mask, caches, i, r,
-            prenet_dropout, 0,
+            prenet_dropout, 0, want_attn,
             method=AutoregressiveTransformer.decode_step,
             rngs={"prenet": k1, "dropout": k2})
+        if want_attn:
+            mel_r, new_caches, cross_attn = step_out
+        else:
+            mel_r, new_caches = step_out
+            cross_attn = None
         lin_buf2 = jax.lax.dynamic_update_slice(lin_buf, mel_r, (0, W + i * r, 0))
         # causal postnet over the trailing receptive-field window
         window = jax.lax.dynamic_slice(lin_buf2, (0, i * r + r, 0),
@@ -361,21 +394,37 @@ def autoregressive_predict(model: AutoregressiveTransformer, variables,
         if stop_enabled:
             hit = (jnp.argmax(stop_logits, axis=-1)
                    == model.stop_prob_index)            # (b, r)
-            stop_now = hit.any(axis=-1)
         else:
             hit = jnp.zeros((b, r), bool)
-            stop_now = jnp.zeros((b,), bool)
+        hit_any = hit.any(axis=-1)
         # per-utterance length: frames up to and including the stopping frame
-        group_len = jnp.where(stop_now, jnp.argmax(hit, axis=-1) + 1, r)
+        group_len = jnp.where(hit_any, jnp.argmax(hit, axis=-1) + 1, r)
+        stop_now = hit_any
+        if want_attn:
+            # mean-over-heads focus position of the last block's
+            # cross-attention for this step's (single) query
+            w = cross_attn.mean(axis=1)[:, -1, :]        # (b, n_enc)
+            focus = jnp.argmax(w, axis=-1)
+            complete = focus >= n_real - 2               # end token reached
+            attn_ctr = jnp.where(complete & ~stopped_vec, attn_ctr + 1, 0)
+            stop_now = stop_now | (attn_ctr >= attn_stop_patience)
+        if max_frames_per_token is not None:
+            cap = jnp.maximum(
+                (n_real.astype(jnp.float32)
+                 * max_frames_per_token).astype(jnp.int32), r)
+            cap_hit = (i + 1) * r >= cap
+            group_len = jnp.where(cap_hit & ~hit_any,
+                                  jnp.clip(cap - i * r, 1, r), group_len)
+            stop_now = stop_now | cap_hit
         new_lengths = jnp.where(stopped_vec, lengths, i * r + group_len)
         next_input = final_r[:, -1:, :]
         return (i + 1, stopped_vec | stop_now, next_input, new_caches,
-                lin_buf2, out_buf2, new_lengths)
+                lin_buf2, out_buf2, new_lengths, attn_ctr)
 
     init = (jnp.int32(0), jnp.zeros((b,), bool), start, caches, lin_buf,
-            out_buf, jnp.zeros((b,), jnp.int32))
-    i, stopped_vec, _, _, _, out_buf, lengths = jax.lax.while_loop(cond, body,
-                                                                   init)
+            out_buf, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32))
+    (i, stopped_vec, _, _, _, out_buf, lengths, _) = jax.lax.while_loop(
+        cond, body, init)
     return {"mel": out_buf, "mel_lengths": lengths,
             "mel_length": lengths.max(), "steps": i,
             "text_encoder_attention": text_attn,

@@ -39,6 +39,13 @@ STYLES = {
     "neutral": (1.00, 1.00, 0.01, 5.0),
     "high_fast": (1.12, 0.85, 0.02, 5.0),
 }
+# carriers spanning the WIDE corpus range (make_synth_corpus.WIDE_RANGES),
+# for models trained with --prosody_range wide (ROADMAP r5 #2)
+STYLES_WIDE = {
+    "low_slow": (0.78, 1.35, 0.00, 5.0),
+    "neutral": (1.00, 1.00, 0.01, 5.0),
+    "high_fast": (1.30, 0.70, 0.02, 5.0),
+}
 CARRIER = "do me ku ri na su"  # fixed mid-register carrier sentence
 
 
@@ -89,7 +96,13 @@ def main():
     p.add_argument("--out_dir", required=True)
     p.add_argument("--n_utts", type=int, default=6)
     p.add_argument("--max_length", type=int, default=600)
+    p.add_argument("--styles", choices=["default", "wide"], default="default",
+                   help="'wide' probes carriers spanning the wide-prosody "
+                   "corpus range (for --prosody_range wide models)")
     a = p.parse_args()
+    if a.styles == "wide":
+        STYLES.clear()
+        STYLES.update(STYLES_WIDE)
 
     import jax
     from etts.api import TTSSynthesizer

@@ -43,6 +43,13 @@ def main():
                              "missing #1 'done' criterion)")
     parser.add_argument("--model_kind", type=str, default="autoregressive",
                         choices=["autoregressive", "forward"])
+    parser.add_argument("--attn_stop_patience", type=int, default=None,
+                        help="decode-time runaway guard: stop after N steps "
+                        "of cross-attention focus on the final token "
+                        "(ROADMAP r5 #3)")
+    parser.add_argument("--frames_per_token", type=float, default=None,
+                        help="decode-time runaway guard: cap output at F "
+                        "frames per real input token")
     parser.add_argument("--int8_gate", action="store_true",
                         help="PERCEPTUAL int8 acceptance gate (VERDICT r3 "
                              "do #6): vocode each mel twice (f32 and int8 "
@@ -125,7 +132,9 @@ def main():
             spk = np.load(spk_path)
         out = tts.predict(text, ref_mel=ref_mel, spk_embed=spk,
                           max_length=args.max_length,
-                          key=jax.random.PRNGKey(i))
+                          key=jax.random.PRNGKey(i),
+                          attn_stop_patience=args.attn_stop_patience,
+                          max_frames_per_token=args.frames_per_token)
         mel = out["mel"]
         wav = to_wav(mel, jax.random.PRNGKey(1000 + i))
         if args.int8_gate and vocoder is not None:

@@ -31,8 +31,18 @@ SPEAKERS = {
 }
 
 
+DEFAULT_RANGES = dict(pitch=(0.9, 1.12), tempo=(0.85, 1.15),
+                      vib_depth=(0.0, 0.02), vib_rate=(3.0, 7.0))
+# ROADMAP r5 #2: at the default ±10% pitch / ±15% tempo the prosody
+# dimensions barely move the training loss, so the decoder learns to ignore
+# the GST (round-4 PITCH/TEMPO_TRACKING FAIL). The wide ranges make prosody
+# a first-order factor of the corpus variance.
+WIDE_RANGES = dict(pitch=(0.75, 1.35), tempo=(0.65, 1.45),
+                   vib_depth=(0.0, 0.03), vib_rate=(3.0, 7.0))
+
+
 def render(text: str, speaker: str, style_rng: np.random.Generator,
-           entangle_style: bool = False, prosody=None):
+           entangle_style: bool = False, prosody=None, ranges=None):
     """Render one utterance: tone words with speaker timbre and a smooth
     per-utterance prosody contour (pitch scale, energy envelope, tempo).
 
@@ -50,6 +60,7 @@ def render(text: str, speaker: str, style_rng: np.random.Generator,
     `/root/reference/synthesize_sentences.py:34-73`).
     """
     harm = SPEAKERS[speaker]
+    r = ranges or DEFAULT_RANGES
     if prosody is not None:
         pitch_scale, tempo, vib_depth, vib_rate = prosody
     elif entangle_style:
@@ -59,10 +70,10 @@ def render(text: str, speaker: str, style_rng: np.random.Generator,
         vib_depth = 0.02 * frac
         vib_rate = 3.0 + 4.0 * frac
     else:
-        pitch_scale = style_rng.uniform(0.9, 1.12)
-        tempo = style_rng.uniform(0.85, 1.15)
-        vib_depth = style_rng.uniform(0.0, 0.02)
-        vib_rate = style_rng.uniform(3.0, 7.0)
+        pitch_scale = style_rng.uniform(*r["pitch"])
+        tempo = style_rng.uniform(*r["tempo"])
+        vib_depth = style_rng.uniform(*r["vib_depth"])
+        vib_rate = style_rng.uniform(*r["vib_rate"])
     segs = []
     for w in text.split():
         dur = 0.26 * tempo
@@ -103,6 +114,10 @@ def main():
     parser.add_argument("--entangle_style", action="store_true",
                         help="prosody correlates with the first word "
                         "(positive MI(style, text) by construction)")
+    parser.add_argument("--prosody_range", choices=["default", "wide"],
+                        default="default",
+                        help="'wide' makes pitch/tempo first-order factors "
+                        "of the corpus variance (ROADMAP r5 #2)")
     args = parser.parse_args()
 
     out = Path(args.out)
@@ -117,11 +132,12 @@ def main():
 
     from etts.data.audio_io import save_wav
     lines = []
+    ranges = WIDE_RANGES if args.prosody_range == "wide" else DEFAULT_RANGES
     for i in range(args.n_utts):
         text = " ".join(rng.choice(words, size=rng.integers(4, 10)))
         speaker = speakers[i % len(speakers)]
         wav = render(text, speaker, rng,
-                     entangle_style=args.entangle_style)
+                     entangle_style=args.entangle_style, ranges=ranges)
         uid = f"{speaker}_utt{i:04d}"
         save_wav(wav, str(out / "wavs" / f"{uid}.wav"), SR)
         np.save(out / "spk_embeds" / f"{uid}.npy", spk_vecs[speaker])

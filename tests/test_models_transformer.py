@@ -166,6 +166,41 @@ class TestAutoregressive:
         assert int(out["steps"]) == 1
         assert int(out["mel_length"]) == 1
 
+    def test_frames_per_token_cap(self):
+        """max_frames_per_token bounds output length text-proportionally:
+        with a stop head that never fires, a 7-token input at 1.0
+        frames/token must stop at exactly 7 frames, not max_length."""
+        model, variables = self._init("text")
+        sl = variables["params"]["Postnet"]["stop_linear"]
+        sl["kernel"] = jnp.zeros_like(sl["kernel"])
+        sl["bias"] = jnp.asarray([10.0, 0.0, -10.0])  # stop class never wins
+        x = jnp.ones((1, 7), jnp.int32)
+        base = autoregressive_predict(model, variables, x, None, None, r=2,
+                                      max_length=20,
+                                      key=jax.random.PRNGKey(0))
+        # runaway to the global cap (max_steps = max_length//r + 1 -> 22)
+        assert int(base["mel_length"]) == 22
+        out = autoregressive_predict(model, variables, x, None, None, r=2,
+                                     max_length=20, key=jax.random.PRNGKey(0),
+                                     max_frames_per_token=1.0)
+        assert int(out["mel_length"]) == 7
+        assert int(out["steps"]) == 4  # ceil(7 / r)
+
+    def test_attn_stop_patience_counter(self):
+        """With only 2 real tokens, 'attention focused on the final token'
+        (focus >= n_real - 2 = 0) is true from step one, so patience=3 must
+        stop the decode after exactly 3 steps regardless of the stop head."""
+        model, variables = self._init("text")
+        sl = variables["params"]["Postnet"]["stop_linear"]
+        sl["kernel"] = jnp.zeros_like(sl["kernel"])
+        sl["bias"] = jnp.asarray([10.0, 0.0, -10.0])
+        x = jnp.asarray([[1, 2, 0, 0, 0, 0, 0]], jnp.int32)
+        out = autoregressive_predict(model, variables, x, None, None, r=2,
+                                     max_length=20, key=jax.random.PRNGKey(0),
+                                     attn_stop_patience=3)
+        assert int(out["steps"]) == 3
+        assert int(out["mel_length"]) == 6  # full r-groups, no interior hit
+
     def test_incremental_decode_matches_teacher_forced(self):
         """KV-cached step decode must agree with the full decode when prenet
         dropout is 0 (the only stochastic part at inference)."""
