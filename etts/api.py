@@ -327,9 +327,11 @@ class VocoderSynthesizer:
         return [np.asarray(w) for w in wavs]
 
     def _int8(self, override):
-        if override is not None:
-            return bool(override)
-        return bool(self.config.get("voc_int8_weights", False))
+        """True -> int8 dequant path; "mxu" -> native int8 MXU dots
+        (etts.models.wavernn._int8_dtype); falsy -> full precision."""
+        v = (override if override is not None
+             else self.config.get("voc_int8_weights", False))
+        return v if v == "mxu" else bool(v)
 
 
 class TacotronSynthesizer:

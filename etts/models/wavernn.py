@@ -386,6 +386,19 @@ def _conditioning_streams(model: WaveRNN, params, mels_up, aux):
     return streams, weights
 
 
+
+
+def _int8_dtype(int8_weights):
+    """Map the int8_weights flag to a kernel weight_dtype: True -> the
+    dequant-on-VPU path; "mxu" -> native int8 MXU dots with dynamic
+    activation quantization (ROADMAP r5 #4); falsy -> full precision."""
+    if int8_weights == "mxu":
+        return "int8_mxu"
+    return "int8" if int8_weights else None
+
+
+
+
 def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key,
                      weight_dtype=None):
     """Fused-kernel path: stream RAW conditioning, project in-kernel.
@@ -511,8 +524,7 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
     if use_pallas and pallas_available:
         output = _run_pallas_loop(model, variables["params"], mels_up, aux,
                                   key,
-                                  weight_dtype="int8" if int8_weights
-                                  else None)
+                                  weight_dtype=_int8_dtype(int8_weights))
     else:
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
@@ -579,8 +591,7 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     if use_pallas and pallas_available:
         output = _run_pallas_loop(model, variables["params"], mels_up, aux,
                                   key,
-                                  weight_dtype="int8" if int8_weights
-                                  else None)
+                                  weight_dtype=_int8_dtype(int8_weights))
     else:
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)

@@ -53,7 +53,7 @@ def _uniform_from_bits(bits):
 
 
 def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
-                 log_scale_min, T_real, quant=False):
+                 log_scale_min, T_real, quant=False, quant_mxu=False):
     def kernel(seed_ref,            # SMEM (1,)
                cond_ref,            # VMEM block (chunk, B, feat + 4*adim)
                ix_ref, wic_ref, bi_ref,          # I: x row, cond kernel, bias
@@ -64,8 +64,8 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
                wf3_ref, bf3_ref, clsv_ref,
                h10_ref, h20_ref, x0_ref,         # initial state (streaming)
                *rest):
-        if quant:
-            # 11 per-column scale rows follow the state inputs (int8 mode)
+        if quant or quant_mxu:
+            # 11 per-column scale rows follow the state inputs (int8 modes)
             (s_wic_ref, s_wi1_ref, s_wh1_ref, s_w2x_ref, s_w2a_ref,
              s_wh2_ref, s_wf1x_ref, s_wf1a_ref, s_wf2x_ref, s_wf2a_ref,
              s_wf3_ref, out_ref, h1o_ref, h2o_ref, xo_ref,
@@ -80,9 +80,24 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
         def wdot(act, w_ref, s_ref):
             """act @ weights with optional int8 weights (per-column scales).
 
-            int8 path: the VMEM read streams HALF the bytes of bf16 — the
-            row-count-independent floor of the step time — and the i8->bf16
-            convert rides the VPU while the MXU runs."""
+            ``quant`` (dequant path): the VMEM read streams HALF the bytes of
+            bf16 — the row-count-independent floor of the step time — but the
+            i8->bf16 convert touches every weight element on the VPU each
+            step, which round-4 measured as a net LOSS at B=8.
+            ``quant_mxu``: int8 x int8 dots run NATIVELY on the MXU (int32
+            accumulate) with per-step per-row dynamic activation quantization
+            — the convert work drops from O(weights) to O(activations),
+            keeping the halved weight stream as pure win."""
+            if quant_mxu:
+                act = act.astype(jnp.float32)
+                sa = jnp.maximum(jnp.max(jnp.abs(act), axis=-1,
+                                         keepdims=True), 1e-9) / 127.0
+                q = jnp.clip(jnp.round(act / sa), -127.0, 127.0
+                             ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    q, w_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return acc.astype(jnp.float32) * sa * s_ref[0]
             if quant:
                 out = jnp.dot(act, w_ref[:].astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
@@ -109,7 +124,8 @@ def _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix, n_classes,
             return 0
 
         def step(t, _):
-            wdt = jnp.bfloat16 if quant else wi1_ref.dtype
+            wdt = (jnp.float32 if quant_mxu
+                   else jnp.bfloat16 if quant else wi1_ref.dtype)
             cond = cond_ref[t].astype(wdt)  # (B, feat+4*adim)
             mel_a1 = cond[:, :feat + adim]
             a2 = cond[:, feat + adim:feat + 2 * adim]
@@ -234,6 +250,7 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
     nr_mix = wf3.shape[1] // 3 if mode == "MOL" else 0
     n_out = _round_up(max(wf3.shape[1], 8), LANE)
     quant = weight_dtype in ("int8", jnp.int8)
+    quant_mxu = weight_dtype == "int8_mxu"
 
     # stream dtype: bf16 normally; full f32 when verifying with f32 weights
     # (the --verify feedback phase needs an f32-everywhere kernel to compare
@@ -257,7 +274,8 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
                 / max(n_classes - 1.0, 1.0) - 1.0).reshape(1, n_out)
 
     kernel = _make_kernel(B, d, fc, feat, adim, n_out, chunk, mode, nr_mix,
-                          n_classes, log_scale_min, T_real=T, quant=quant)
+                          n_classes, log_scale_min, T_real=T, quant=quant,
+                          quant_mxu=quant_mxu)
     if state is None:
         state = {"h1": jnp.zeros((B, d), jnp.float32),
                  "h2": jnp.zeros((B, d), jnp.float32),
@@ -271,7 +289,7 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
         quantization (returns (int8 weights, (1, cols) f32 inverse scales);
         one cheap pass over the weights per call, amortized across the whole
         sample loop)."""
-        if not quant:
+        if not (quant or quant_mxu):
             return w.astype(weight_dtype), None
         s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
         s = jnp.maximum(s, 1e-12)
@@ -322,7 +340,7 @@ def wavernn_sample_loop(cond, W_I, b_I, wi1, wh1, bi1, bh1,
         state["h1"].astype(f32), state["h2"].astype(f32),
         state["x"].astype(f32),
     ]
-    if quant:
+    if quant or quant_mxu:
         in_specs += [wspec((1, d)), wspec((1, 3 * d)), wspec((1, 3 * d)),
                      wspec((1, 3 * d)), wspec((1, 3 * d)), wspec((1, 3 * d)),
                      wspec((1, fc)), wspec((1, fc)), wspec((1, fc)),

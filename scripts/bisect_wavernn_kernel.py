@@ -33,6 +33,7 @@ CHILD = r"""
 import sys
 import jax, jax.numpy as jnp
 B, T, mode = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+variant = sys.argv[4] if len(sys.argv) > 4 else "normal"
 sys.path.insert(0, "/root/repo")
 from etts.ops.pallas.wavernn_cell import wavernn_sample_loop
 
@@ -43,6 +44,15 @@ ks = iter(jax.random.split(k, 24))
 s = 0.08
 w = lambda shape: jax.random.normal(next(ks), shape, jnp.float32) * s
 cond = jax.random.normal(next(ks), (T, B, feat + 4 * adim)) * 0.5
+# phase-2 variants: the full grid PASSED with finite normal cond, so the
+# regimes2 worker fault must be data-dependent (the crashing combo free-ran
+# to the length cap -> runaway mels feeding the upsampler)
+if variant == "scale50":
+    cond = cond * 100.0
+elif variant == "nan":
+    cond = cond.at[T // 2 :, :, :].set(jnp.nan)
+elif variant == "inf":
+    cond = cond.at[T // 2 :, :, :].set(jnp.inf)
 out = wavernn_sample_loop(
     cond, w((1 + feat + adim, d)), w((d,)),
     w((d, 3 * d)), w((d, 3 * d)), w((3 * d,)), w((3 * d,)),
@@ -53,8 +63,35 @@ out = wavernn_sample_loop(
     feat=feat, adim=adim, mode=mode, n_classes=n_out)
 out.block_until_ready()
 import numpy as np
-assert np.isfinite(np.asarray(out[-8:])).all()
+if variant == "normal":
+    assert np.isfinite(np.asarray(out[-8:])).all()
+else:
+    np.asarray(out)  # device readback only: the probe is "does it crash"
 print("CHILD_OK", out.shape)
+"""
+
+# full generate() path with random weights (upsampler + fold + kernel +
+# crossfade): covers the possibility that the fault lives OUTSIDE the
+# sample loop. mel values: "runaway" free-running mels renormed (mel+4)/8
+# can leave [0, 1]; the extreme variant feeds exactly that.
+CHILD_FULL = r"""
+import sys
+import jax, jax.numpy as jnp, numpy as np
+t_mel, variant = int(sys.argv[1]), sys.argv[2]
+sys.path.insert(0, "/root/repo")
+from etts.models.wavernn import WaveRNN, generate
+model = WaveRNN(mode="MOL")  # reference scale (512/512, hop 200)
+k = jax.random.PRNGKey(0)
+mel = jax.random.uniform(k, (1, t_mel, 80))
+if variant == "extreme":
+    mel = mel * 3.0 - 1.0   # leaves [0,1] the way runaway TTS mels do
+elif variant == "nan":
+    mel = mel.at[:, t_mel // 2 :, :].set(jnp.nan)
+x0 = jnp.zeros((1, (20 - 2 * model.pad) * model.hop_length))
+variables = model.init(jax.random.PRNGKey(1), x0, mel[:, :20], False)
+wav = generate(model, variables, mel, mu_law=False, key=k, bucket=True)
+np.asarray(wav)
+print("CHILD_OK", wav.shape)
 """
 
 
@@ -68,6 +105,25 @@ def probe(timeout=300):
     return r.returncode == 0
 
 
+def _run_point(key, argv, results, timeout):
+    r = subprocess.run(argv, capture_output=True, text=True, timeout=timeout)
+    ok = r.returncode == 0 and "CHILD_OK" in r.stdout
+    results[key] = "PASS" if ok else "CRASH"
+    print(f"{key}: {results[key]}"
+          + ("" if ok else f"  [{r.stderr.strip().splitlines()[-1][:120] if r.stderr.strip() else 'no stderr'}]"),
+          flush=True)
+    if not ok:
+        # worker may be restarting; wait for the backend before the next
+        # grid point so one crash doesn't cascade
+        for _ in range(20):
+            time.sleep(30)
+            try:
+                if probe():
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, nargs="*", default=[8, 10, 16, 24, 56])
@@ -75,30 +131,31 @@ def main():
     p.add_argument("--mode", default="MOL", choices=["MOL", "RAW"])
     p.add_argument("--timeout", type=int, default=600)
     p.add_argument("--out", default="artifacts/soak/kernel_bisect.json")
+    p.add_argument("--phase2", action="store_true",
+                   help="data-dependence sweep (the full geometry grid "
+                   "PASSED with finite cond): extreme/NaN/Inf conditioning "
+                   "into the kernel, plus the FULL generate() path at the "
+                   "regimes crash length with in-range / runaway / NaN mels")
     a = p.parse_args()
 
     results = {}
-    for T in a.ts:
-        for B in a.bs:
-            key = f"B{B}_T{T}"
-            r = subprocess.run(
-                [sys.executable, "-c", CHILD, str(B), str(T), a.mode],
-                capture_output=True, text=True, timeout=a.timeout)
-            ok = r.returncode == 0 and "CHILD_OK" in r.stdout
-            results[key] = "PASS" if ok else "CRASH"
-            print(f"{key}: {results[key]}"
-                  + ("" if ok else f"  [{r.stderr.strip().splitlines()[-1][:120] if r.stderr.strip() else 'no stderr'}]"),
-                  flush=True)
-            if not ok:
-                # worker may be restarting; wait for the backend before the
-                # next grid point so one crash doesn't cascade
-                for _ in range(20):
-                    time.sleep(30)
-                    try:
-                        if probe():
-                            break
-                    except subprocess.TimeoutExpired:
-                        pass
+    if a.phase2:
+        for variant in ("scale50", "nan", "inf"):
+            _run_point(f"kernel_B16_T12100_{variant}",
+                       [sys.executable, "-c", CHILD, "16", "12100", a.mode,
+                        variant], results, a.timeout)
+        # t_mel 604 ~ the regimes crash combo (--max_length 600 + sentinels):
+        # ~120k samples -> 11 fold rows -> padded B=16, fold len 12100
+        for variant in ("normal", "extreme", "nan"):
+            _run_point(f"fullgen_t604_{variant}",
+                       [sys.executable, "-c", CHILD_FULL, "604", variant],
+                       results, a.timeout)
+    else:
+        for T in a.ts:
+            for B in a.bs:
+                _run_point(f"B{B}_T{T}",
+                           [sys.executable, "-c", CHILD, str(B), str(T),
+                            a.mode], results, a.timeout)
     Path(a.out).parent.mkdir(parents=True, exist_ok=True)
     Path(a.out).write_text(json.dumps(results, indent=1))
     print(f"wrote {a.out}")

@@ -237,6 +237,28 @@ class TestInt8Weights:
         got = np.concatenate([np.asarray(out1), np.asarray(out2)])
         np.testing.assert_allclose(got, np.asarray(full), atol=1e-5)
 
+    def test_raw_int8_mxu_tracks_f32(self):
+        """int8_mxu (native int8 MXU dots + dynamic per-row activation
+        quantization, ROADMAP r5 #4) must track the f32 trajectory as closely
+        as the dequant path — the int32 accumulate is EXACT, so the only
+        error sources are the weight/activation quantization grids."""
+        key = jax.random.PRNGKey(0)
+        n_classes = 16
+        w = _weights(key, n_classes)
+        w["wf3"] = w["wf3"] * 100.0
+        cond = _cond(jax.random.fold_in(key, 1))
+        f32 = np.asarray(_call_kernel(cond, w, seed=3, mode="RAW",
+                                      n_classes=n_classes))
+        i8 = np.asarray(wavernn_sample_loop(
+            cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"], w["bh1"],
+            w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+            w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"], w["bf2"],
+            w["wf3"], w["bf3"], seed=3, feat=FEAT, adim=ADIM, chunk=4,
+            interpret=True, weight_dtype="int8_mxu", mode="RAW",
+            n_classes=n_classes))
+        assert np.mean(np.abs(i8 - f32)) < 0.1, np.mean(np.abs(i8 - f32))
+        assert np.abs(i8).max() <= 1.0 + 1e-6
+
     def test_mol_int8_concentrated_means(self):
         key = jax.random.PRNGKey(2)
         w = _weights(key, 30)
