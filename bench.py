@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -107,6 +108,22 @@ def _num_folds(wave_len: int, target: int, overlap: int) -> int:
     if wave_len - (n * (overlap + target) + overlap) != 0:
         n += 1
     return n
+
+
+def _mxu_int8_supported() -> bool:
+    """True when the committed Mosaic op-probe record shows every op the
+    int8-MXU vocoder mode needs legalizes on this toolchain
+    (scripts/probe_mosaic_ops.py). Gating on the probe file keeps a
+    speculative Mosaic fault out of the bench run: nothing unproven
+    executes on the worker here."""
+    try:
+        rec = json.loads(
+            (Path(__file__).parent / "artifacts" / "soak"
+             / "mosaic_ops_probe.json").read_text())
+        return all(rec[k]["ok"]
+                   for k in ("f32_to_i8", "i8_dot_i32", "i32_to_f32"))
+    except (OSError, KeyError, ValueError):
+        return False
 
 
 def _dispatch_floor_sec(n: int = 15) -> float:
@@ -363,10 +380,15 @@ def serve():
     jax.block_until_ready(jax.jit(lambda k: vocode(k, False))(key))
     voc_bf16 = _device_time(lambda k: vocode(k, False), key, iters=4)
     voc_int8 = None
+    voc_int8_mxu = None
     if jax.default_backend() == "tpu":
         jax.block_until_ready(jax.jit(lambda k: vocode(k, True))(key))
         voc_int8 = _device_time(lambda k: vocode(k, True), key, iters=4)
-    voc_time = min(voc_bf16, voc_int8) if voc_int8 else voc_bf16
+        if _mxu_int8_supported():
+            jax.block_until_ready(jax.jit(lambda k: vocode(k, "mxu"))(key))
+            voc_int8_mxu = _device_time(lambda k: vocode(k, "mxu"), key,
+                                        iters=4)
+    voc_time = min(t for t in (voc_bf16, voc_int8, voc_int8_mxu) if t)
 
     audio_sec = B * (n_frames - 1) * HOP / SR
     total_samples = B * (n_frames - 1) * HOP
@@ -380,6 +402,8 @@ def serve():
             "vocoder_b8_bf16_sec": round(voc_bf16, 4),
             "vocoder_b8_int8_sec": (round(voc_int8, 4)
                                     if voc_int8 else None),
+            "vocoder_b8_int8_mxu_sec": (round(voc_int8_mxu, 4)
+                                        if voc_int8_mxu else None),
             "wavernn_samples_per_sec": round(total_samples / voc_time, 1),
             "audio_sec": round(audio_sec, 2),
             "x_realtime": round(1.0 / rtf, 1),
@@ -478,21 +502,29 @@ def main():
     voc_time = voc_time_bf16
     voc_int8 = False
     voc_time_int8 = None
+    voc_time_int8_mxu = None
     if on_tpu:
         # int8 kernel weights (per-column scales, f32 accumulate): halves
         # the VMEM weight stream that floors the per-step time; gated by the
-        # --verify int8 parity/quality phase
-        def vocode_i8(m, k):
-            return generate(voc, voc_vars, m[None], batched=True,
-                            target=11000, overlap=550, mu_law=False, key=k,
-                            int8_weights=True)
+        # --verify int8 parity/quality phase. "mxu" = native int8 MXU dots
+        # (ROADMAP r5 #4), only tried once probe_mosaic_ops proved the ops.
+        flags = [True] + (["mxu"] if _mxu_int8_supported() else [])
+        times = {}
+        for flag in flags:
+            def vocode_i8(m, k, flag=flag):
+                return generate(voc, voc_vars, m[None], batched=True,
+                                target=11000, overlap=550, mu_law=False,
+                                key=k, int8_weights=flag)
 
-        jax.block_until_ready(jax.jit(vocode_i8)(voc_mel, key))
-        voc_time_int8 = _device_time(lambda k: vocode_i8(voc_mel, k), key,
-                                     iters=4)
-        if voc_time_int8 < voc_time_bf16:
-            voc_time = voc_time_int8
-            voc_int8 = True
+            jax.block_until_ready(jax.jit(vocode_i8)(voc_mel, key))
+            times[flag] = _device_time(lambda k: vocode_i8(voc_mel, k), key,
+                                       iters=4)
+        voc_time_int8 = times.get(True)
+        voc_time_int8_mxu = times.get("mxu")
+        best = min(times.values())
+        if best < voc_time_bf16:
+            voc_time = best
+            voc_int8 = [f for f, t in times.items() if t == best][0]
 
     # DSP frontend speed (BASELINE config 1: mel extraction + Griffin-Lim)
     from etts.ops.audio import AudioProcessor
@@ -588,6 +620,8 @@ def main():
             "vocoder_bf16_sec": round(voc_time_bf16, 4),
             "vocoder_int8_sec": (round(voc_time_int8, 4)
                                  if voc_time_int8 else None),
+            "vocoder_int8_mxu_sec": (round(voc_time_int8_mxu, 4)
+                                     if voc_time_int8_mxu else None),
             "vocoder_int8": voc_int8,
             "dispatch_floor_ms": round(floor * 1e3, 3),
             "window_health": window_health,
