@@ -35,6 +35,7 @@ class TTSSynthesizer:
         self.audio = AudioProcessor(self.config)
         self.pipeline = self.cm.get_text_pipeline()
         self._decode_cache = {}
+        self._fused_broken = set()   # geometries whose fused compile failed
         # free-running runaway guards (etts.models.autoregressive docstring);
         # config defaults, overridable per predict() call
         self.attn_stop_patience = self.config.get("attn_stop_patience")
@@ -80,17 +81,20 @@ class TTSSynthesizer:
                 and m.decoder_dense_blocks == len(m.decoder_num_heads)
                 and len(set(m.decoder_num_heads)) == 1)
 
-    def _fused_fn(self, max_length: int):
+    def _fused_fn(self, max_length: int, attn_stop_patience=None,
+                  max_frames_per_token=None):
         """Cached jitted encode + fused-Pallas-kernel decode (single stream).
 
         ~4x lower latency than the while_loop path (28.6 vs 115 us/step at
         reference scale on one v5e)."""
-        ck = ("fused", max_length)
+        ck = ("fused", max_length, attn_stop_patience, max_frames_per_token)
         if ck not in self._decode_cache:
             from .models.autoregressive import AutoregressiveTransformer
             from .ops.pallas.decoder_step import make_fused_decoder
-            decode = make_fused_decoder(self.model, r=self.r,
-                                        max_steps=max_length // self.r + 1)
+            decode = make_fused_decoder(
+                self.model, r=self.r, max_steps=max_length // self.r + 1,
+                attn_stop_patience=attn_stop_patience,
+                max_frames_per_token=max_frames_per_token)
 
             @jax.jit
             def fn(variables, inp, ref, spk, key):
@@ -118,15 +122,23 @@ class TTSSynthesizer:
                else (attn_stop_patience or None))
         mft = (self.max_frames_per_token if max_frames_per_token is None
                else (max_frames_per_token or None))
-        # the fused Pallas kernel has no attention readback — the runaway
-        # guards run on the while_loop path
-        if inp.shape[0] == 1 and self._can_fuse() and asp is None and mft is None:
-            fn = self._fused_fn(max_length)
-        else:
-            fn = self._decode_fn(max_length, asp, mft)
-        return fn(self.variables, inp,
-                  ref if self.model.has_style else None,
-                  spk if self.model.has_speaker else None, key)
+        ref = ref if self.model.has_style else None
+        spk = spk if self.model.has_speaker else None
+        if inp.shape[0] == 1 and self._can_fuse():
+            fused_ck = ("fused", max_length, asp, mft)
+            if fused_ck not in self._fused_broken:
+                try:
+                    fn = self._fused_fn(max_length, asp, mft)
+                    return fn(self.variables, inp, ref, spk, key)
+                except Exception as e:  # Mosaic legalization/compile failure
+                    import warnings
+                    warnings.warn(
+                        "fused decode kernel failed "
+                        f"({type(e).__name__}: {e}); falling back to the "
+                        "while_loop decode path for this geometry")
+                    self._fused_broken.add(fused_ck)
+        fn = self._decode_fn(max_length, asp, mft)
+        return fn(self.variables, inp, ref, spk, key)
 
     def _reject_forward_conditioning(self, ref_mel, spk_embed):
         """The forward family (ForwardTransformer) takes no style/speaker

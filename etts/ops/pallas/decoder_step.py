@@ -73,6 +73,10 @@ def _make_kernel(cfg):
     cf = cfg["cf"]
     stop_index = cfg["stop_index"]
     stop_enabled = cfg["stop_enabled"]
+    # decode-time runaway guards (mirror autoregressive_predict, ROADMAP
+    # r5 #3): attention-completion stop + static per-text frame cap
+    attn_patience = cfg.get("attn_stop_patience")
+    frame_cap = cfg.get("frame_cap")
     sqrt_d = float(np.sqrt(d))
     inv_sqrt_depth = float(1.0 / np.sqrt(depth))
 
@@ -125,6 +129,7 @@ def _make_kernel(cfg):
         frame_ref[:] = jnp.full((1, LANE), cfg["start_value"], f32)
         state_ref[0] = 0   # stopped flag
         state_ref[1] = 0   # length in frames
+        state_ref[2] = 0   # attention-completion counter
         len_ref[0] = 0
         len_ref[1] = 0
 
@@ -138,9 +143,11 @@ def _make_kernel(cfg):
             u = _uniform_from_bits(bits)
             return jnp.where(u < keep, x / jnp.maximum(keep, 1e-8), 0.0)
 
-        def attend(q, K, V, row_ids, valid_upto):
+        def attend(q, K, V, row_ids, valid_upto, want_p=False):
             """q (1,d) pre-scaled; K/V (T_kv, d) head-concat; softmax over
-            rows <= valid_upto. Returns (1, d) head-concat output.
+            rows <= valid_upto. Returns (1, d) head-concat output, plus the
+            head-summed attention column (T_kv, 1) when ``want_p`` (feeds the
+            attention-completion stop).
 
             Broadcast-multiply-reduce on the VPU (q broadcasts over rows):
             Mosaic mis-legalizes the (T,64)x(1,64) dot_general for this shape
@@ -149,6 +156,7 @@ def _make_kernel(cfg):
             Kf = K[:].astype(f32)
             Vf = V[:].astype(f32)
             outs = []
+            psum = jnp.zeros((Kf.shape[0], 1), f32)
             for h in range(nh):
                 sl = slice(h * depth, (h + 1) * depth)
                 qh = q[:, sl] * inv_sqrt_depth          # (1, depth) f32
@@ -158,10 +166,13 @@ def _make_kernel(cfg):
                 m = jnp.max(sc, axis=0, keepdims=True)
                 p = jnp.exp(sc - m)
                 p = p / jnp.sum(p, axis=0, keepdims=True)
+                if want_p:
+                    psum = psum + p
                 oh = jnp.sum(p * Vf[:, sl], axis=0,
                              keepdims=True)             # (1, depth)
                 outs.append(oh)
-            return jnp.concatenate(outs, axis=1)
+            out = jnp.concatenate(outs, axis=1)
+            return (out, psum) if want_p else out
 
         def step(t, _):
             running = jnp.logical_and(state_ref[0] == 0, True)
@@ -189,8 +200,24 @@ def _make_kernel(cfg):
                     x1 = layer_norm(so + x, blk, 1)
                     # cross-attention (precomputed encoder K/V)
                     q2 = dot(x1, wqc_ref[blk]) + bqc_ref[blk]
-                    attn2 = attend(q2, ck_ref[blk], cv_ref[blk], rows_E,
-                                   n_enc_real - 1)
+                    want_p = (attn_patience is not None and blk == nb - 1)
+                    if want_p:
+                        attn2, p_cross = attend(q2, ck_ref[blk], cv_ref[blk],
+                                                rows_E, n_enc_real - 1,
+                                                want_p=True)
+                        # attention-completion: focus (argmax row) on the
+                        # final real token for `attn_patience` consecutive
+                        # steps => text consumed, stop (the same last-block
+                        # cross-attention signal duration extraction trusts)
+                        pm = jnp.max(p_cross, axis=0, keepdims=True)
+                        focus = jnp.min(jnp.where(p_cross >= pm, rows_E,
+                                                  jnp.int32(2 ** 30)))
+                        complete = focus >= n_enc_real - 2
+                        state_ref[2] = jnp.where(complete,
+                                                 state_ref[2] + 1, 0)
+                    else:
+                        attn2 = attend(q2, ck_ref[blk], cv_ref[blk], rows_E,
+                                       n_enc_real - 1)
                     co = (dot(x1, woc_ref[blk][:d])
                           + dot(attn2, woc_ref[blk][d:]) + boc_ref[blk])
                     x2 = layer_norm(co + x1, blk, 2)
@@ -252,6 +279,19 @@ def _make_kernel(cfg):
                         def _(fj=fj):
                             state_ref[0] = 1
                             state_ref[1] = t * r + fj + 1
+                # ---- decode-time runaway guards ----
+                if attn_patience is not None:
+                    @pl.when(jnp.logical_and(state_ref[2] >= attn_patience,
+                                             state_ref[0] == 0))
+                    def _():
+                        state_ref[0] = 1   # length stays (t+1)*r
+                if frame_cap is not None:
+                    @pl.when(jnp.logical_and((t + 1) * r >= frame_cap,
+                                             state_ref[0] == 0))
+                    def _():
+                        state_ref[0] = 1
+                        state_ref[1] = jnp.minimum(state_ref[1],
+                                                   jnp.int32(frame_cap))
                 # ---- feedback ----
                 frame_ref[:] = final
 
@@ -437,7 +477,7 @@ def _fused_decode_call(arrays, pe, seed, rate, *, t_max, stop_enabled,
             pltpu.VMEM((max((npost - 2) * kp, 1), cf), f32),  # rings L1..
             pltpu.VMEM((kp, cf), f32),                # ring last
             pltpu.VMEM((1, LANE), f32),               # feedback frame
-            pltpu.SMEM((2,), jnp.int32),              # stopped, length
+            pltpu.SMEM((3,), jnp.int32),              # stopped, length, attn
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(jnp.asarray([seed], jnp.int32),
@@ -463,7 +503,8 @@ def _fused_decode_call(arrays, pe, seed, rate, *, t_max, stop_enabled,
 
 def make_fused_decoder(model, *, max_steps: int, r: int = 1,
                        stop_enabled: bool = True,
-                       interpret: bool = False, compute_dtype="bfloat16"):
+                       interpret: bool = False, compute_dtype="bfloat16",
+                       attn_stop_patience=None, max_frames_per_token=None):
     """One jitted program: weight stacking + cross-KV precompute + kernel.
 
     The weight stacking (``build_decode_inputs``) traces into the SAME XLA
@@ -471,6 +512,10 @@ def make_fused_decoder(model, *, max_steps: int, r: int = 1,
     host dispatch, ~10x the kernel itself. Returns
     ``decode(variables, enc_output, key, prenet_dropout) ->
     (mel (1,T,mel), length, steps)``.
+
+    ``attn_stop_patience`` / ``max_frames_per_token``: the decode-time
+    runaway guards of ``autoregressive_predict`` (single-stream decode has
+    no token padding, so the frame cap is static per text length).
     """
     t_max = _round_up(max_steps, 8)
     # decode_step adds pe[step * r] (r-strided positional encoding,
@@ -483,6 +528,10 @@ def make_fused_decoder(model, *, max_steps: int, r: int = 1,
     def decode(variables, enc_output, key, prenet_dropout):
         arrays, cfg = build_decode_inputs(model, variables, enc_output, r)
         cfg["compute_dtype"] = str(compute_dtype)
+        cfg["attn_stop_patience"] = attn_stop_patience
+        cfg["frame_cap"] = (
+            None if max_frames_per_token is None
+            else max(int(cfg["n_enc_real"] * max_frames_per_token), r))
         cfg_key = tuple(sorted(cfg.items()))
         seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
         out, length = _fused_decode_call(
@@ -498,7 +547,8 @@ def make_fused_decoder(model, *, max_steps: int, r: int = 1,
 def fused_decode(model, variables, enc_output, *, max_steps: int,
                  r: int = 1, key=None, prenet_dropout: float = 0.5,
                  stop_enabled: bool = True, interpret: bool = False,
-                 compute_dtype="bfloat16", _cache=None):
+                 compute_dtype="bfloat16", attn_stop_patience=None,
+                 max_frames_per_token=None, _cache=None):
     """Run the fused decode kernel. Returns (mel (1, T*r, mel), length,
     steps); length counts FRAMES.
 
@@ -510,13 +560,15 @@ def fused_decode(model, variables, enc_output, *, max_steps: int,
     if _cache is None:
         _cache = _FUSED_CACHE
     ck = (id(model), _round_up(max_steps, 8), r, stop_enabled, interpret,
-          str(compute_dtype))
+          str(compute_dtype), attn_stop_patience, max_frames_per_token)
     if ck not in _cache:
         # value holds a strong model ref so a recycled id() can never alias
         # a stale compiled decoder
         _cache[ck] = (model, make_fused_decoder(
             model, max_steps=max_steps, r=r, stop_enabled=stop_enabled,
-            interpret=interpret, compute_dtype=compute_dtype))
+            interpret=interpret, compute_dtype=compute_dtype,
+            attn_stop_patience=attn_stop_patience,
+            max_frames_per_token=max_frames_per_token))
     return _cache[ck][1](variables, enc_output, key, prenet_dropout)
 
 

@@ -119,6 +119,46 @@ def test_fused_decode_stop_token():
     assert np.allclose(np.asarray(mel[0][2:]), 0.0)
 
 
+def test_fused_decode_frame_cap():
+    """max_frames_per_token in the fused kernel: stop head never fires, 7
+    tokens at 1.0 frames/token must stop at exactly 7 frames (static cap)."""
+    model, variables, phon = _model_and_vars()
+    sl = variables["params"]["Postnet"]["stop_linear"]
+    sl["kernel"] = jnp.zeros_like(sl["kernel"])
+    sl["bias"] = jnp.asarray([10.0, 0.0, -10.0])
+    enc_out, *_ = model.apply(
+        variables, phon, None, None, False, False, 0,
+        method=AutoregressiveTransformer.encode,
+        rngs={"dropout": jax.random.PRNGKey(2),
+              "prenet": jax.random.PRNGKey(2)})
+    mel, length, n = fused_decode(model, variables, enc_out, max_steps=16,
+                                  key=jax.random.PRNGKey(3),
+                                  prenet_dropout=0.0, stop_enabled=True,
+                                  interpret=True, max_frames_per_token=1.0)
+    assert int(length) == 7
+
+
+def test_fused_decode_attn_stop_patience():
+    """Attention-completion stop in the fused kernel: with only 2 input
+    tokens 'focus on the final token' (>= n_enc_real - 2 = 0) holds from
+    step one, so patience=3 stops the decode at exactly 3 frames (r=1)."""
+    model, variables, phon = _model_and_vars()
+    sl = variables["params"]["Postnet"]["stop_linear"]
+    sl["kernel"] = jnp.zeros_like(sl["kernel"])
+    sl["bias"] = jnp.asarray([10.0, 0.0, -10.0])
+    phon2 = phon[:, :2]
+    enc_out, *_ = model.apply(
+        variables, phon2, None, None, False, False, 0,
+        method=AutoregressiveTransformer.encode,
+        rngs={"dropout": jax.random.PRNGKey(2),
+              "prenet": jax.random.PRNGKey(2)})
+    mel, length, n = fused_decode(model, variables, enc_out, max_steps=16,
+                                  key=jax.random.PRNGKey(3),
+                                  prenet_dropout=0.0, stop_enabled=True,
+                                  interpret=True, attn_stop_patience=3)
+    assert int(length) == 3
+
+
 def test_fused_decode_stop_interior_frame_r2():
     """r=2 with an always-firing stop head: the stop class fires on the FIRST
     frame of the group, which a last-frame-only check never sees (the decode
