@@ -779,6 +779,24 @@ def verify():
         assert agree8 > 0.85, f"B={B}: int8/scan agreement {agree8}"
         assert val_err8 < 0.05, f"B={B}: int8 value error {val_err8}"
 
+        # int8-MXU mode (native i8 dots + dynamic activation quantization):
+        # same bars; only run once the op probe proved the toolchain
+        if interpret or _mxu_int8_supported():
+            got8m = np.asarray(wavernn_sample_loop(
+                cond, w["W_I"], w["b_I"], w["wi1"], w["wh1"], w["bi1"],
+                w["bh1"], w["w2x"], w["w2a"], w["wh2"], w["bi2"], w["bh2"],
+                w["wf1x"], w["wf1a"], w["bf1"], w["wf2x"], w["wf2a"],
+                w["bf2"], w["wf3"], w["bf3"], 3, feat=FEAT, adim=ADIM,
+                mode="RAW", n_classes=n_classes, interpret=interpret,
+                weight_dtype="int8_mxu"))
+            agree8m = float(np.mean(got8m == want))
+            val_err8m = float(np.mean(np.abs(got8m - want)))
+            results[f"int8_mxu_agreement_B{B}"] = round(agree8m, 5)
+            results[f"int8_mxu_value_err_B{B}"] = round(val_err8m, 5)
+            assert agree8m > 0.85, \
+                f"B={B}: int8_mxu/scan agreement {agree8m}"
+            assert val_err8m < 0.05, f"B={B}: int8_mxu value err {val_err8m}"
+
         # MoL concentrated-means: all samples must land on the forced mean
         w["wf3"] = jnp.zeros((FC, 30))
         bf3 = np.zeros(30, np.float32)
