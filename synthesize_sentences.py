@@ -38,6 +38,12 @@ def main():
                         choices=["autoregressive", "forward"],
                         help="acoustic model family of --tts_session")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--attn_stop_patience", type=int, default=None,
+                        help="decode-time runaway guard: stop after N steps "
+                        "of cross-attention focus on the final token")
+    parser.add_argument("--frames_per_token", type=float, default=None,
+                        help="decode-time runaway guard: cap output at F "
+                        "frames per input token")
     parser.add_argument("--int8", action="store_true",
                         help="int8 vocoder kernel weights (halves the VMEM weight stream)")
     args = parser.parse_args()
@@ -85,7 +91,9 @@ def main():
             print(f"[{ref_type}] {sentence!r}")
             out = tts.predict(sentence, ref_mel=ref_mel, spk_embed=spk_embed,
                               max_length=args.max_length,
-                              key=jax.random.PRNGKey(args.seed + i))
+                              key=jax.random.PRNGKey(args.seed + i),
+                              attn_stop_patience=args.attn_stop_patience,
+                              max_frames_per_token=args.frames_per_token)
             mel = out["mel"]  # (t, n_mels) in [-4, 4]
             if voc is not None:
                 voc_mel = (mel + 4.0) / 8.0  # vocoder contract (:54)

@@ -53,6 +53,12 @@ def main():
     parser.add_argument("--out_dir", type=str, default="synth_speaker_out")
     parser.add_argument("--max_length", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--attn_stop_patience", type=int, default=None,
+                        help="decode-time runaway guard: stop after N steps "
+                        "of cross-attention focus on the final token")
+    parser.add_argument("--frames_per_token", type=float, default=None,
+                        help="decode-time runaway guard: cap output at F "
+                        "frames per input token")
     parser.add_argument("--int8", action="store_true",
                         help="int8 vocoder kernel weights (halves the VMEM weight stream)")
     parser.add_argument("--voc_scan", action="store_true",
@@ -124,7 +130,9 @@ def main():
                     spk = np.load(spk_path)
                 out = tts.predict(text, ref_mel=ref_mel, spk_embed=spk,
                                   max_length=args.max_length,
-                                  key=jax.random.PRNGKey(args.seed + i))
+                                  key=jax.random.PRNGKey(args.seed + i),
+                                  attn_stop_patience=args.attn_stop_patience,
+                                  max_frames_per_token=args.frames_per_token)
                 mel = out["mel"]
                 if voc is not None:
                     wav = voc.generate((mel + 4.0) / 8.0,
