@@ -118,4 +118,31 @@ for STY in default wide; do
                    --styles $STY
 done
 
+# --- 3. 4-regime protocol WITH the runaway guards (the round-4 table's WER
+# columns were dominated by free-running length runaway; same checkpoint +
+# vocoder, so the delta is attributable to the guards) ---
+run combos_g     python scripts/make_combo_file.py \
+                   --metafile .soak/test_metafile.txt \
+                   --out .soak/eval/combos.txt --n 12
+JOB_TIMEOUT=7200 run regimes_g \
+                 python synthesize_sentences_speaker.py --tts_config .soak \
+                   --sessions curve20k \
+                   --checkpoint $CK14 \
+                   --test_sentences .soak/test_metafile.txt \
+                   --combo_file .soak/eval/combos.txt \
+                   --ref_audio_dir .soak/wavs --spk_embed_dir .soak/spk_embeds \
+                   --regimes syn_norm rand text_rand style_rand \
+                   --out_dir .soak/eval/regimes_g --max_length 600 \
+                   --attn_stop_patience 3 --frames_per_token 12.0 \
+                   --voc_config .soak --voc_session vocsoak
+SNAP_EXTRA=(artifacts/soak/all_score_r4guards.log)
+run regime_score_g env ETTS_CTC_ASR=.soak/ctc_asr.npz \
+                   python objective_measure.py --ref_dir .soak/wavs \
+                   --syn_dirs .soak/eval/regimes_g/curve20k/syn_norm \
+                              .soak/eval/regimes_g/curve20k/rand \
+                              .soak/eval/regimes_g/curve20k/text_rand \
+                              .soak/eval/regimes_g/curve20k/style_rand \
+                   --texts .soak/test_metafile.txt \
+                   --out artifacts/soak/all_score_r4guards.log
+
 echo "[queue] $(date) round-4d queue COMPLETE"
