@@ -128,7 +128,24 @@ def train_ctc_asr(pairs: Sequence[tuple], sr: int, *, steps: int = 600,
     import optax
 
     model = CTCAsrModel(n_mels=n_mels, hidden=hidden)
-    mels = [np.asarray(_log_mel(w, sr, n_mels)) for w, _ in pairs]
+    # Mel prep mirrors CTCTranscriber.transcribe_wav: pin the tiny frontend
+    # to the host CPU backend and bucket wav lengths to powers of two. The
+    # naive per-utterance jit compiled ONE stft PER DISTINCT LENGTH through
+    # the remote-TPU tunnel (~300 compiles on a cold cache — the round-4c
+    # bootstrap sat in this loop for 85+ minutes before this fix).
+    from ..ops.stft import n_frames
+    cpu = jax.devices("cpu")[0]
+    hop = max(1, int(sr * 0.010))
+    mels = []
+    with jax.default_device(cpu):
+        for w, _ in pairs:
+            w = np.asarray(w, np.float32)
+            n_real = len(w)
+            bucket = 1 << max(12, int(n_real - 1).bit_length())
+            real_frames = n_frames(n_real, n_fft=512, hop_length=hop)
+            m = _log_mel(np.pad(w, (0, bucket - n_real)), sr, n_mels,
+                         stat_frames=real_frames)
+            mels.append(np.asarray(m)[:real_frames])
     labels = [encode_text(t) for _, t in pairs]
     assert all(len(l) > 0 for l in labels), "empty transcript"
     # CTC feasibility: the 4x-downsampled frame count must cover the label
