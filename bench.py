@@ -316,22 +316,28 @@ def _bench_train_mine(b=8):
 def train_curve():
     """bf16 train-step throughput scaling curve over batch size (ROADMAP #6:
     find the MFU knee now that per-step truth is ~3 ms). One JSON line."""
+    g = _Guard()
     points = {}
     for b in (8, 16, 32, 64, 128):
-        dt, mfu = _bench_train(jnp.bfloat16, b=b)
-        points[f"b{b}"] = {"step_ms": round(dt * 1e3, 2),
-                           "samples_per_sec": round(b / dt, 1),
-                           "mfu": round(mfu, 4)}
-    dt_mine = _bench_train_mine(b=8)
-    points["b8_with_mine_zoo"] = {"step_ms": round(dt_mine * 1e3, 2),
-                                  "samples_per_sec": round(8 / dt_mine, 1)}
+        res = g(f"b{b}", lambda b=b: _bench_train(jnp.bfloat16, b=b))
+        if res is not None:
+            dt, mfu = res
+            points[f"b{b}"] = {"step_ms": round(dt * 1e3, 2),
+                               "samples_per_sec": round(b / dt, 1),
+                               "mfu": round(mfu, 4)}
+    dt_mine = g("b8_with_mine_zoo", lambda: _bench_train_mine(b=8))
+    if dt_mine is not None:
+        points["b8_with_mine_zoo"] = {
+            "step_ms": round(dt_mine * 1e3, 2),
+            "samples_per_sec": round(8 / dt_mine, 1)}
     # best over the TTS-only curve points (the mine point carries no mfu)
-    best = max((p for p in points.values() if "mfu" in p),
-               key=lambda p: p["samples_per_sec"])
+    curve = [p for p in points.values() if "mfu" in p]
+    best = (max(curve, key=lambda p: p["samples_per_sec"])
+            if curve else {"samples_per_sec": None, "mfu": None})
     print(json.dumps({"metric": "train_samples_per_sec_best",
                       "value": best["samples_per_sec"],
                       "unit": "samples/s", "vs_baseline": best["mfu"],
-                      "extras": {**points,
+                      "extras": {**points, "stage_errors": g.errors,
                                  "backend": jax.default_backend()}}))
 
 
@@ -346,6 +352,7 @@ def serve():
                                             autoregressive_predict)
     from etts.models.wavernn import WaveRNN, generate_batch
 
+    g = _Guard()
     key = jax.random.PRNGKey(0)
     SR, HOP, MEL_C = 16000, 200, 80
     B, n_frames = 8, 400
@@ -353,68 +360,161 @@ def serve():
                                     mel_channels=MEL_C, vocab_size=130,
                                     max_r=10)
     phonemes = jnp.ones((B, 64), jnp.int32)
-    ref_mel = jax.random.normal(key, (B, 60, MEL_C))
-    spk = jax.random.normal(key, (B, 1, 256))
-    tts_vars = tts.init({"params": key, "dropout": key, "prenet": key},
-                        phonemes[:1], ref_mel[:1], spk[:1], r=1)
+
+    def _setup():
+        ref_mel = jax.random.normal(key, (B, 60, MEL_C))
+        spk = jax.random.normal(key, (B, 1, 256))
+        tts_vars = tts.init({"params": key, "dropout": key, "prenet": key},
+                            phonemes[:1], ref_mel[:1], spk[:1], r=1)
+        return ref_mel, spk, tts_vars
+
+    setup = g("setup", _setup)
+    if setup is None:
+        print(json.dumps({"metric": "serve_rtf_batch8", "value": None,
+                          "unit": "ratio", "vs_baseline": None,
+                          "error": "setup_failed",
+                          "extras": {"stage_errors": g.errors,
+                                     "backend": jax.default_backend()}}))
+        return
+    ref_mel, spk, tts_vars = setup
 
     def tts_decode(k):
         return autoregressive_predict(tts, tts_vars, phonemes, ref_mel, spk,
                                       r=1, max_length=n_frames - 1, key=k,
                                       stop_enabled=False)["mel"]
 
-    mel = jax.jit(tts_decode)(key)
-    jax.block_until_ready(mel)
-    tts_time = _device_time(tts_decode, key, iters=4)
+    def _tts_stage():
+        mel = jax.jit(tts_decode)(key)
+        jax.block_until_ready(mel)
+        return mel, _device_time(tts_decode, key, iters=4)
+
+    mel, tts_time = g("tts_b8", _tts_stage, default=(None, None))
+    if mel is None:
+        mel = g("standin_mel",
+                lambda: jax.random.normal(key, (B, n_frames, MEL_C)))
 
     voc = WaveRNN(feat_dims=MEL_C, hop_length=HOP, sample_rate=SR,
                   mode="MOL")
-    voc_vars = voc.init(key, jnp.zeros((1, 8 * HOP)),
-                        jnp.zeros((1, 12, MEL_C)), False)
-    mels01 = [(mel[i] + 4.0) / 8.0 for i in range(B)]
+    voc_bf16 = voc_int8 = voc_int8_mxu = None
+    if mel is not None:
+        voc_vars = g("voc_init",
+                     lambda: voc.init(key, jnp.zeros((1, 8 * HOP)),
+                                      jnp.zeros((1, 12, MEL_C)), False))
+    else:
+        voc_vars = None
+    if voc_vars is not None:
+        mels01 = [(mel[i] + 4.0) / 8.0 for i in range(B)]
 
-    def vocode(k, int8):
-        return generate_batch(voc, voc_vars, mels01, mu_law=False, key=k,
-                              int8_weights=int8)
+        def vocode(k, int8):
+            return generate_batch(voc, voc_vars, mels01, mu_law=False, key=k,
+                                  int8_weights=int8)
 
-    jax.block_until_ready(jax.jit(lambda k: vocode(k, False))(key))
-    voc_bf16 = _device_time(lambda k: vocode(k, False), key, iters=4)
-    voc_int8 = None
-    voc_int8_mxu = None
-    if jax.default_backend() == "tpu":
-        jax.block_until_ready(jax.jit(lambda k: vocode(k, True))(key))
-        voc_int8 = _device_time(lambda k: vocode(k, True), key, iters=4)
-        if _mxu_int8_supported():
-            jax.block_until_ready(jax.jit(lambda k: vocode(k, "mxu"))(key))
-            voc_int8_mxu = _device_time(lambda k: vocode(k, "mxu"), key,
-                                        iters=4)
-    voc_time = min(t for t in (voc_bf16, voc_int8, voc_int8_mxu) if t)
+        def _voc_stage(flag):
+            jax.block_until_ready(jax.jit(lambda k: vocode(k, flag))(key))
+            return _device_time(lambda k: vocode(k, flag), key, iters=4)
+
+        voc_bf16 = g("vocoder_b8_bf16", lambda: _voc_stage(False))
+        if jax.default_backend() == "tpu":
+            voc_int8 = g("vocoder_b8_int8", lambda: _voc_stage(True))
+            if _mxu_int8_supported():
+                voc_int8_mxu = g("vocoder_b8_int8_mxu",
+                                 lambda: _voc_stage("mxu"))
+    voc_times = [t for t in (voc_bf16, voc_int8, voc_int8_mxu) if t]
+    voc_time = min(voc_times) if voc_times else None
 
     audio_sec = B * (n_frames - 1) * HOP / SR
     total_samples = B * (n_frames - 1) * HOP
-    rtf = (tts_time + voc_time) / audio_sec
+    rtf = ((tts_time + voc_time) / audio_sec
+           if tts_time is not None and voc_time is not None else None)
+    floor = g("dispatch_floor", _dispatch_floor_sec)
+
+    def _r(x, nd=4):
+        return None if x is None else round(x, nd)
+
     print(json.dumps({
-        "metric": "serve_rtf_batch8", "value": round(rtf, 5),
+        "metric": "serve_rtf_batch8", "value": _r(rtf, 5),
         "unit": "device_sec_per_audio_sec",
-        "vs_baseline": round(rtf / 0.1, 4),
+        "vs_baseline": _r(rtf / 0.1 if rtf is not None else None),
         "extras": {
-            "tts_b8_sec": round(tts_time, 4),
-            "vocoder_b8_bf16_sec": round(voc_bf16, 4),
-            "vocoder_b8_int8_sec": (round(voc_int8, 4)
-                                    if voc_int8 else None),
-            "vocoder_b8_int8_mxu_sec": (round(voc_int8_mxu, 4)
-                                        if voc_int8_mxu else None),
-            "wavernn_samples_per_sec": round(total_samples / voc_time, 1),
+            "tts_b8_sec": _r(tts_time),
+            "vocoder_b8_bf16_sec": _r(voc_bf16),
+            "vocoder_b8_int8_sec": _r(voc_int8),
+            "vocoder_b8_int8_mxu_sec": _r(voc_int8_mxu),
+            "wavernn_samples_per_sec": (_r(total_samples / voc_time, 1)
+                                        if voc_time else None),
             "audio_sec": round(audio_sec, 2),
-            "x_realtime": round(1.0 / rtf, 1),
-            "dispatch_floor_ms": round(_dispatch_floor_sec() * 1e3, 3),
+            "x_realtime": _r(1.0 / rtf if rtf else None, 1),
+            "dispatch_floor_ms": _r(floor * 1e3 if floor is not None
+                                    else None, 3),
+            "stage_errors": g.errors,
             "backend": jax.default_backend()}}))
+
+
+def _transient(e: Exception) -> bool:
+    """True for tunnel-weather faults worth one retry: the axon HTTP proxy
+    drops bodies / times out under load (BENCH_r04: `read body: response
+    body closed before all bytes were read` at minute ~N of an otherwise
+    healthy run), while the device + this process's arrays stay valid."""
+    s = repr(e)
+    return any(tok in s for tok in (
+        "read body", "remote_compile", "INTERNAL", "UNAVAILABLE",
+        "DEADLINE_EXCEEDED", "connection", "Connection", "EOF"))
+
+
+def _wait_backend(max_wait: int = 240, poll: int = 20) -> bool:
+    """After a transient fault, poll (subprocess probe, hard timeout — PJRT
+    blocks inside a C call when the tunnel is down, see _probe_backend)
+    until one trivial dispatch round-trips, or give up after ``max_wait``s."""
+    import subprocess
+    probe_src = ("import jax, jax.numpy as jnp;"
+                 "jax.jit(lambda a: a + 1)(jnp.zeros(())).block_until_ready()")
+    deadline = time.monotonic() + max_wait
+    while time.monotonic() < deadline:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               capture_output=True, timeout=90)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(poll)
+    return False
+
+
+class _Guard:
+    """Per-stage fault isolation for the measurement pipeline.
+
+    VERDICT r4 weak #1: two consecutive rounds lost the ENTIRE official perf
+    record to one mid-run tunnel fault because main() ran ~10 stages with no
+    per-stage recovery. Every stage now runs under this guard: a transient
+    fault gets ONE retry after the backend re-probes healthy; a persistent
+    failure records ``{stage: error}`` and the run continues, so the final
+    JSON line always carries whatever WAS measured (and the driver sees
+    rc=0)."""
+
+    def __init__(self):
+        self.errors = {}
+
+    def __call__(self, name, fn, default=None):
+        for attempt in (0, 1):
+            try:
+                return fn()
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except Exception as e:  # noqa: BLE001 — the record IS the handler
+                msg = f"{type(e).__name__}: {str(e)[:280]}"
+                if attempt == 0 and _transient(e) and _wait_backend():
+                    continue
+                self.errors[name] = msg
+                return default
 
 
 def main():
     from etts.models.autoregressive import (AutoregressiveTransformer,
                                             autoregressive_predict)
     from etts.models.wavernn import WaveRNN, generate
+
+    g = _Guard()
 
     key = jax.random.PRNGKey(0)
     SR, HOP, MEL_C = 16000, 200, 80
@@ -425,18 +525,31 @@ def main():
                                     max_r=10)
     t_text = 64
     phonemes = jnp.ones((1, t_text), jnp.int32)
-    ref_mel = jax.random.normal(key, (1, 60, MEL_C))
-    spk = jax.random.normal(key, (1, 1, 256))
-    tts_vars = tts.init({"params": key, "dropout": key, "prenet": key},
-                        phonemes, ref_mel, spk, r=1)
-
-    # vocoder at reference scale (WaveRNN/hparams.py)
-    voc = WaveRNN(feat_dims=MEL_C, hop_length=HOP, sample_rate=SR, mode="MOL")
-    mel_dummy = jnp.zeros((1, 12, MEL_C))
-    voc_vars = voc.init(key, jnp.zeros((1, 8 * HOP)), mel_dummy, False)
-
     n_frames = 400  # 5.0 s of audio at hop 200 / 16 kHz
     decode_steps = n_frames  # r=1
+    voc = WaveRNN(feat_dims=MEL_C, hop_length=HOP, sample_rate=SR, mode="MOL")
+
+    def _setup():
+        ref_mel = jax.random.normal(key, (1, 60, MEL_C))
+        spk = jax.random.normal(key, (1, 1, 256))
+        tts_vars = tts.init({"params": key, "dropout": key, "prenet": key},
+                            phonemes, ref_mel, spk, r=1)
+        # vocoder at reference scale (WaveRNN/hparams.py)
+        voc_vars = voc.init(key, jnp.zeros((1, 8 * HOP)),
+                            jnp.zeros((1, 12, MEL_C)), False)
+        return ref_mel, spk, tts_vars, voc_vars
+
+    setup = g("setup", _setup)
+    if setup is None:
+        # nothing downstream can run without weights on device: emit the
+        # structured no-measurement record (rc=0 keeps it archived)
+        print(json.dumps({
+            "metric": "rtf_text_to_wav", "value": None, "unit": "ratio",
+            "vs_baseline": None, "error": "setup_failed",
+            "extras": {"stage_errors": g.errors,
+                       "backend": jax.default_backend()}}))
+        return
+    ref_mel, spk, tts_vars, voc_vars = setup
 
     def tts_decode(k):
         out = autoregressive_predict(tts, tts_vars, phonemes, ref_mel, spk,
@@ -447,63 +560,80 @@ def main():
     # tunnel health: every hot path below is timed with _device_time (chained
     # device-side iterations), so the headline reflects device truth even
     # when the tunnel's per-dispatch round trip degrades to tens of ms
-    floor = _dispatch_floor_sec()
-    window_health = "healthy" if floor < 2e-3 else "degraded"
+    floor = g("dispatch_floor", _dispatch_floor_sec)
+    window_health = ("unknown" if floor is None
+                     else "healthy" if floor < 2e-3 else "degraded")
 
-    tts_decode_j = jax.jit(tts_decode)
-    mel = tts_decode_j(key)  # compile + output for downstream stages
-    mel.block_until_ready()
-    tts_while_loop_time = _device_time(tts_decode, key, iters=4)
+    def _while_loop_stage():
+        mel = jax.jit(tts_decode)(key)  # compile + output for later stages
+        mel.block_until_ready()
+        return mel, _device_time(tts_decode, key, iters=4)
+
+    mel, tts_while_loop_time = g("tts_while_loop", _while_loop_stage,
+                                 default=(None, None))
     tts_time = tts_while_loop_time
 
     # fused Pallas decode-step megakernel (single-stream serving path)
     on_tpu = jax.default_backend() == "tpu"
+    encode_time = None
     if on_tpu:
-        from etts.ops.pallas.decoder_step import make_fused_decoder
-        fused = make_fused_decoder(tts, max_steps=decode_steps,
-                                   stop_enabled=False)
+        def _fused_stage():
+            from etts.ops.pallas.decoder_step import make_fused_decoder
+            fused = make_fused_decoder(tts, max_steps=decode_steps,
+                                       stop_enabled=False)
 
-        def tts_fused(k):
-            ekey, dkey = jax.random.split(k)
-            enc_out, *_ = tts.apply(
-                tts_vars, phonemes, ref_mel, spk, False, False, 0,
-                method=AutoregressiveTransformer.encode,
-                rngs={"dropout": ekey, "prenet": ekey})
-            m, length, _ = fused(tts_vars, enc_out, dkey, 0.5)
-            return m
+            def tts_fused(k):
+                ekey, dkey = jax.random.split(k)
+                enc_out, *_ = tts.apply(
+                    tts_vars, phonemes, ref_mel, spk, False, False, 0,
+                    method=AutoregressiveTransformer.encode,
+                    rngs={"dropout": ekey, "prenet": ekey})
+                m, length, _ = fused(tts_vars, enc_out, dkey, 0.5)
+                return m
 
-        tts_fused_j = jax.jit(tts_fused)
-        mel_f = tts_fused_j(key)
-        mel_f.block_until_ready()
-        tts_time = _device_time(tts_fused, key, iters=8)
-        mel = mel_f[:, :decode_steps, :]
+            mel_f = jax.jit(tts_fused)(key)
+            mel_f.block_until_ready()
+            return mel_f[:, :decode_steps, :], _device_time(tts_fused, key,
+                                                            iters=8)
 
-        def enc_only(k):
-            ekey, _ = jax.random.split(k)
-            return tts.apply(
-                tts_vars, phonemes, ref_mel, spk, False, False, 0,
-                method=AutoregressiveTransformer.encode,
-                rngs={"dropout": ekey, "prenet": ekey})[0]
+        fused_res = g("tts_fused", _fused_stage)
+        if fused_res is not None:
+            mel, tts_time = fused_res
 
-        encode_time = _device_time(enc_only, key, iters=16)
-    else:
-        encode_time = 0.0
+        def _enc_stage():
+            def enc_only(k):
+                ekey, _ = jax.random.split(k)
+                return tts.apply(
+                    tts_vars, phonemes, ref_mel, spk, False, False, 0,
+                    method=AutoregressiveTransformer.encode,
+                    rngs={"dropout": ekey, "prenet": ekey})[0]
 
-    voc_mel = (mel[0] + 4.0) / 8.0
+            return _device_time(enc_only, key, iters=16)
+
+        encode_time = g("tts_encode", _enc_stage)
+
+    if mel is None:  # both decode paths failed: a fixed-length stand-in mel
+        mel = g("standin_mel",
+                lambda: jax.random.normal(key, (1, decode_steps, MEL_C)))
+    voc_mel = (mel[0] + 4.0) / 8.0 if mel is not None else None
 
     def vocode(m, k):
         return generate(voc, voc_vars, m[None], batched=True, target=11000,
                         overlap=550, mu_law=False, key=k)
 
-    vocode_j = jax.jit(vocode)
-    wav = vocode_j(voc_mel, key)
-    wav.block_until_ready()
-    voc_time_bf16 = _device_time(lambda k: vocode(voc_mel, k), key, iters=4)
+    def _voc_stage():
+        wav = jax.jit(vocode)(voc_mel, key)
+        wav.block_until_ready()
+        return wav, _device_time(lambda k: vocode(voc_mel, k), key, iters=4)
+
+    wav, voc_time_bf16 = ((None, None) if voc_mel is None
+                          else g("vocoder_bf16", _voc_stage,
+                                 default=(None, None)))
     voc_time = voc_time_bf16
     voc_int8 = False
     voc_time_int8 = None
     voc_time_int8_mxu = None
-    if on_tpu:
+    if on_tpu and voc_time_bf16 is not None:
         # int8 kernel weights (per-column scales, f32 accumulate): halves
         # the VMEM weight stream that floors the per-step time; gated by the
         # --verify int8 parity/quality phase. "mxu" = native int8 MXU dots
@@ -511,66 +641,82 @@ def main():
         flags = [True] + (["mxu"] if _mxu_int8_supported() else [])
         times = {}
         for flag in flags:
-            def vocode_i8(m, k, flag=flag):
-                return generate(voc, voc_vars, m[None], batched=True,
-                                target=11000, overlap=550, mu_law=False,
-                                key=k, int8_weights=flag)
+            def _i8_stage(flag=flag):
+                def vocode_i8(m, k):
+                    return generate(voc, voc_vars, m[None], batched=True,
+                                    target=11000, overlap=550, mu_law=False,
+                                    key=k, int8_weights=flag)
 
-            jax.block_until_ready(jax.jit(vocode_i8)(voc_mel, key))
-            times[flag] = _device_time(lambda k: vocode_i8(voc_mel, k), key,
-                                       iters=4)
+                jax.block_until_ready(jax.jit(vocode_i8)(voc_mel, key))
+                return _device_time(lambda k: vocode_i8(voc_mel, k), key,
+                                    iters=4)
+
+            t = g(f"vocoder_int8_{flag}", _i8_stage)
+            if t is not None:
+                times[flag] = t
         voc_time_int8 = times.get(True)
         voc_time_int8_mxu = times.get("mxu")
-        best = min(times.values())
-        if best < voc_time_bf16:
-            voc_time = best
-            voc_int8 = [f for f, t in times.items() if t == best][0]
+        if times and min(times.values()) < voc_time_bf16:
+            voc_time = min(times.values())
+            voc_int8 = [f for f, t in times.items() if t == voc_time][0]
 
     # DSP frontend speed (BASELINE config 1: mel extraction + Griffin-Lim)
-    from etts.ops.audio import AudioProcessor
-    ap = AudioProcessor(dict(sampling_rate=SR, n_fft=2048, hop_length=HOP,
-                             win_length=800, mel_channels=MEL_C, f_min=40,
-                             f_max=None, normalizer="WaveRNN"))
-    wav5_np = np.random.default_rng(0).standard_normal(5 * SR)
-    wav5 = jnp.asarray(wav5_np, jnp.float32)
-    jax.block_until_ready(ap.mel_spectrogram(wav5))
-    mel_extract_sec = _device_time(
-        lambda k: ap.mel_spectrogram(wav5 * jax.random.uniform(k)),
-        key, iters=8)
+    def _mel_extract_stage():
+        from etts.ops.audio import AudioProcessor
+        ap = AudioProcessor(dict(sampling_rate=SR, n_fft=2048, hop_length=HOP,
+                                 win_length=800, mel_channels=MEL_C, f_min=40,
+                                 f_max=None, normalizer="WaveRNN"))
+        wav5 = jnp.asarray(
+            np.random.default_rng(0).standard_normal(5 * SR), jnp.float32)
+        jax.block_until_ready(ap.mel_spectrogram(wav5))
+        return _device_time(
+            lambda k: ap.mel_spectrogram(wav5 * jax.random.uniform(k)),
+            key, iters=8)
+
+    mel_extract_sec = g("mel_extraction", _mel_extract_stage)
 
     # --- streamed synthesis: first-audio latency ----------------------------
-    from etts.streaming import stream_synthesize
+    def _stream_stage():
+        from etts.streaming import stream_synthesize
 
-    def first_audio_sec():
-        gen = stream_synthesize(tts, tts_vars, voc, voc_vars, phonemes,
-                                ref_mel, spk, r=1, max_length=decode_steps - 1,
-                                mel_chunk=40, stop_enabled=False,
-                                mu_law=False, key=key)
-        t0 = time.perf_counter()
-        first = next(gen)
-        jax.block_until_ready(first)
-        dt = time.perf_counter() - t0
-        gen.close()
-        return dt, first.shape[0] / SR
+        def first_audio_sec():
+            gen = stream_synthesize(tts, tts_vars, voc, voc_vars, phonemes,
+                                    ref_mel, spk, r=1,
+                                    max_length=decode_steps - 1,
+                                    mel_chunk=40, stop_enabled=False,
+                                    mu_law=False, key=key)
+            t0 = time.perf_counter()
+            first = next(gen)
+            jax.block_until_ready(first)
+            dt = time.perf_counter() - t0
+            gen.close()
+            return dt, first.shape[0] / SR
 
-    first_audio_sec()  # compile
-    fa, chunk_audio = min((first_audio_sec() for _ in range(5)),
-                          key=lambda t: t[0])
+        first_audio_sec()  # compile
+        return min((first_audio_sec() for _ in range(5)), key=lambda t: t[0])
+
+    fa, chunk_audio = g("first_audio", _stream_stage, default=(None, None))
 
     # --- training-step throughput + MFU, fp32 vs bf16 mixed precision -------
-    train_fp32_sec, mfu_train_fp32 = _bench_train(jnp.float32)
-    train_bf16_sec, mfu_train_bf16 = _bench_train(jnp.bfloat16)
+    train_fp32 = g("train_fp32", lambda: _bench_train(jnp.float32),
+                   default=(None, None))
+    train_bf16 = g("train_bf16", lambda: _bench_train(jnp.bfloat16),
+                   default=(None, None))
     # the step is dispatch-bound at batch 8; per-chip throughput scales
     # nearly free with batch (b=32 runs at ~the same wall time)
-    train_b32_sec, mfu_train_b32 = _bench_train(jnp.bfloat16, b=32)
+    train_b32 = g("train_bf16_b32",
+                  lambda: _bench_train(jnp.bfloat16, b=32),
+                  default=(None, None))
+    train_fp32_sec, mfu_train_fp32 = train_fp32
+    train_bf16_sec, mfu_train_bf16 = train_bf16
+    train_b32_sec, mfu_train_b32 = train_b32
 
     # --- forward (duration-based) acoustic model: one-shot MXU decode -------
     # the non-AR synthesis path (SURVEY §2.1 ForwardTransformer): the whole
     # mel comes out of ONE jitted call (encoder + duration regulation +
     # decoder + postnet), so text->mel is pure batched MXU work with no
     # sequential decode at all
-    fwd_extras = {}
-    try:
+    def _forward_stage():
         from etts.models.forward import ForwardTransformer
         fm = ForwardTransformer(mel_channels=MEL_C, vocab_size=130)
         fvars = fm.init({"params": key, "dropout": key, "prenet": key},
@@ -582,66 +728,91 @@ def main():
                             rngs={"dropout": k, "prenet": k})["mel"]
 
         jax.block_until_ready(jax.jit(fwd_mel)(key))
-        fwd_sec = _device_time(fwd_mel, key, iters=8)
-        fwd_extras["forward_tts_sec"] = round(fwd_sec, 5)
-        # text -> 5 s of audio with the measured vocoder: the forward path's
-        # end-to-end serving RTF (mel cost is near-zero next to vocoding)
-        fwd_extras["forward_rtf_text_to_wav"] = round(
-            (fwd_sec + voc_time) / ((n_frames - 1) * HOP / SR), 5)
-    except Exception as e:  # never let the extra break the headline record
-        fwd_extras["forward_tts_error"] = repr(e)[:200]
+        return _device_time(fwd_mel, key, iters=8)
+
+    fwd_sec = g("forward_tts", _forward_stage)
+    fwd_extras = {}
+    if fwd_sec is not None:
+        fwd_extras["forward_tts_sec"] = round(fwd_sec, 6)  # µs resolution
+        if voc_time is not None:
+            # text -> 5 s of audio with the measured vocoder: the forward
+            # path's end-to-end serving RTF (mel cost ~0 next to vocoding)
+            fwd_extras["forward_rtf_text_to_wav"] = round(
+                (fwd_sec + voc_time) / ((n_frames - 1) * HOP / SR), 5)
 
     # per-path MFU (bf16 chip peak as denominator everywhere)
-    dec_flops = _decode_step_flops(tts, n_enc=t_text, t_avg=decode_steps // 2)
-    mfu_decode = _mfu(dec_flops * decode_steps, tts_time)
-    wave_len = (n_frames - 1) * HOP
-    n_folds = _num_folds(wave_len, 11000, 550)
-    voc_flops = _vocoder_step_flops(voc) * n_folds * (11000 + 2 * 550)
-    mfu_vocoder = _mfu(voc_flops, voc_time)
+    mfu_decode = None
+    if tts_time is not None:
+        dec_flops = _decode_step_flops(tts, n_enc=t_text,
+                                       t_avg=decode_steps // 2)
+        mfu_decode = _mfu(dec_flops * decode_steps, tts_time)
+    mfu_vocoder = None
+    if voc_time is not None:
+        wave_len = (n_frames - 1) * HOP
+        n_folds = _num_folds(wave_len, 11000, 550)
+        voc_flops = _vocoder_step_flops(voc) * n_folds * (11000 + 2 * 550)
+        mfu_vocoder = _mfu(voc_flops, voc_time)
 
-    audio_sec = wav.shape[0] / SR
-    rtf = (tts_time + voc_time) / audio_sec
+    def _r(x, nd=4):
+        return None if x is None else round(x, nd)
+
+    rtf = None
+    audio_sec = None
+    if wav is not None and tts_time is not None and voc_time is not None:
+        audio_sec = wav.shape[0] / SR
+        rtf = (tts_time + voc_time) / audio_sec
     result = {
         "metric": "rtf_text_to_wav",
-        "value": round(rtf, 5),
+        "value": _r(rtf, 5),
         # device compute time per audio second, measured via chained
         # device-side iteration loops (one tunnel round trip amortized over
         # all iterations) — see _device_time; this is what a production host
         # without the development tunnel pays (plus one ~100 us local
         # dispatch per request)
         "unit": "device_sec_per_audio_sec",
-        "vs_baseline": round(rtf / 0.1, 4),
+        "vs_baseline": _r(rtf / 0.1 if rtf is not None else None),
         "extras": {
-            "tts_sec": round(tts_time, 4),
-            "tts_encode_sec": round(encode_time, 5),
-            "tts_while_loop_sec": round(tts_while_loop_time, 4),
-            "tts_fused_kernel": on_tpu,
-            "vocoder_sec": round(voc_time, 4),
-            "vocoder_bf16_sec": round(voc_time_bf16, 4),
-            "vocoder_int8_sec": (round(voc_time_int8, 4)
-                                 if voc_time_int8 else None),
-            "vocoder_int8_mxu_sec": (round(voc_time_int8_mxu, 4)
-                                     if voc_time_int8_mxu else None),
+            "tts_sec": _r(tts_time),
+            "tts_encode_sec": _r(encode_time, 5),
+            "tts_while_loop_sec": _r(tts_while_loop_time),
+            "tts_fused_kernel": bool(on_tpu and "tts_fused" not in g.errors),
+            "vocoder_sec": _r(voc_time),
+            "vocoder_bf16_sec": _r(voc_time_bf16),
+            "vocoder_int8_sec": _r(voc_time_int8),
+            "vocoder_int8_mxu_sec": _r(voc_time_int8_mxu),
             "vocoder_int8": voc_int8,
-            "dispatch_floor_ms": round(floor * 1e3, 3),
+            "dispatch_floor_ms": _r(floor * 1e3 if floor is not None
+                                    else None, 3),
             "window_health": window_health,
-            "audio_sec": round(audio_sec, 3),
-            "wavernn_samples_per_sec": round(wav.shape[0] / voc_time, 1),
-            "mel_frames_per_sec": round(mel.shape[1] / tts_time, 1),
-            "mel_extraction_x_realtime": round(5.0 / mel_extract_sec, 1),
-            "first_audio_ms": round(fa * 1e3, 1),
-            "first_audio_chunk_sec": round(chunk_audio, 3),
-            "train_step_fp32_ms": round(train_fp32_sec * 1e3, 2),
-            "train_step_bf16_ms": round(train_bf16_sec * 1e3, 2),
-            "bf16_train_speedup": round(train_fp32_sec / train_bf16_sec, 2),
-            "mfu_train_fp32": round(mfu_train_fp32, 4),
-            "mfu_train_bf16": round(mfu_train_bf16, 4),
-            "train_step_bf16_b32_ms": round(train_b32_sec * 1e3, 2),
-            "mfu_train_bf16_b32": round(mfu_train_b32, 4),
-            "train_samples_per_sec_b32": round(32 / train_b32_sec, 1),
-            "mfu_ar_decode": round(mfu_decode, 4),
-            "mfu_vocoder_kernel": round(mfu_vocoder, 4),
+            "audio_sec": _r(audio_sec, 3),
+            "wavernn_samples_per_sec":
+                (_r(wav.shape[0] / voc_time, 1)
+                 if wav is not None and voc_time else None),
+            "mel_frames_per_sec":
+                (_r(mel.shape[1] / tts_time, 1)
+                 if mel is not None and tts_time else None),
+            "mel_extraction_x_realtime":
+                _r(5.0 / mel_extract_sec if mel_extract_sec else None, 1),
+            "first_audio_ms": _r(fa * 1e3 if fa is not None else None, 1),
+            "first_audio_chunk_sec": _r(chunk_audio, 3),
+            "train_step_fp32_ms": _r(train_fp32_sec * 1e3
+                                     if train_fp32_sec else None, 2),
+            "train_step_bf16_ms": _r(train_bf16_sec * 1e3
+                                     if train_bf16_sec else None, 2),
+            "bf16_train_speedup":
+                (_r(train_fp32_sec / train_bf16_sec, 2)
+                 if train_fp32_sec and train_bf16_sec else None),
+            "mfu_train_fp32": _r(mfu_train_fp32),
+            "mfu_train_bf16": _r(mfu_train_bf16),
+            "train_step_bf16_b32_ms": _r(train_b32_sec * 1e3
+                                         if train_b32_sec else None, 2),
+            "mfu_train_bf16_b32": _r(mfu_train_b32),
+            "train_samples_per_sec_b32": _r(32 / train_b32_sec
+                                            if train_b32_sec else None, 1),
+            "mfu_ar_decode": _r(mfu_decode),
+            "mfu_vocoder_kernel": _r(mfu_vocoder),
             **fwd_extras,
+            "stage_errors": g.errors,
             "peak_flops": _peak_flops(),
             "backend": jax.devices()[0].platform,
         },
@@ -970,7 +1141,8 @@ def _probe_backend() -> None:
         # carry the last driver-captured GOOD record forward so an outage
         # round's archive still states the best-known device truth
         last_good = None
-        for rec in ("BENCH_r02.json", "BENCH_r01.json"):
+        for rec in ("BENCH_r04.json", "BENCH_r03.json",
+                    "BENCH_r02.json", "BENCH_r01.json"):
             try:
                 with open(os.path.join(os.path.dirname(__file__), rec)) as f:
                     parsed = json.load(f).get("parsed")

@@ -46,12 +46,26 @@ def main():
     if variables.get("batch_stats"):
         tree["batch_stats"] = variables["batch_stats"]
     restored, step = ckpt.restore(tree, step=a.step, partial=True)
+    if step is None:
+        # ADVICE r4: with no checkpoint on disk, restore() hands back the
+        # freshly-initialized tree — exporting that would commit random
+        # weights labeled as trained params. Fail loudly instead.
+        raise SystemExit(f"no checkpoint found under {cm.weights_dir} — "
+                         "refusing to export untrained init params")
 
     flat = {}
-    def _collect(path, leaf):
-        flat[jax.tree_util.keystr(path)] = np.asarray(leaf).astype(np.float16)
-        return leaf
-    jax.tree_util.tree_map_with_path(_collect, restored["params"])
+    def _collect(prefix):
+        def f(path, leaf):
+            flat[prefix + jax.tree_util.keystr(path)] = (
+                np.asarray(leaf).astype(np.float16))
+            return leaf
+        return f
+    jax.tree_util.tree_map_with_path(_collect(""), restored["params"])
+    if restored.get("batch_stats"):
+        # batch-norm models need their running statistics to round-trip
+        # (ADVICE r4: init-time stats silently degrade inference)
+        jax.tree_util.tree_map_with_path(_collect("batch_stats:"),
+                                         restored["batch_stats"])
 
     out = Path(a.out)
     out.parent.mkdir(parents=True, exist_ok=True)

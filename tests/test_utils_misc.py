@@ -37,24 +37,30 @@ class TestInfolog:
         path = tmp_path / "train.log"
         infolog.init(str(path), "sess")
         infolog.log("hello from the run")
-        infolog._close_logfile()
+        infolog.close()
         text = path.read_text()
-        assert "Starting new training run" in text
+        assert "run sess opened" in text
         assert "hello from the run" in text
         assert "hello from the run" in capsys.readouterr().out
 
-    def test_slack_flag_without_url_is_noop(self, tmp_path):
+    def test_log_before_init_prints(self, capsys):
+        infolog.close()
+        infolog.log("pre-init line")  # must not raise with no active log
+        assert "pre-init line" in capsys.readouterr().out
+
+    def test_alert_flag_without_url_is_noop(self, tmp_path):
         path = tmp_path / "train2.log"
         infolog.init(str(path), "sess2", slack_url=None)
         infolog.log("alert!", slack=True)  # must not raise offline
-        infolog._close_logfile()
+        infolog.close()
         assert "alert!" in path.read_text()
 
-    def test_send_slack_never_raises(self):
+    def test_webhook_post_never_raises(self, tmp_path):
         # webhook is best-effort: a bogus URL must be swallowed
-        infolog._slack_url = "http://127.0.0.1:9/unreachable"
-        infolog._run_name = "x"
-        infolog._send_slack("msg")  # no exception
+        rl = infolog.RunLog(str(tmp_path / "t.log"), "x",
+                            webhook_url="http://127.0.0.1:9/unreachable")
+        rl._post("msg")  # no exception
+        rl.close()
 
 
 class TestXlaCacheWiring:

@@ -292,3 +292,40 @@ class TestShardedVocoding:
                                        target=30, overlap=10, key=key)
         for a, b in zip(wavs, wavs2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestCondSanitize:
+    def test_hostile_conditioning_is_clamped_finite(self):
+        # VERDICT r4 #3: hostile conditioning (runaway AR mels -> NaN/Inf
+        # through the upsampler) must never reach the fused kernel raw
+        from etts.models.wavernn import _sanitize_cond
+        c = jnp.array([[jnp.nan, jnp.inf, -jnp.inf, 1e30, -1e30, 3.5]])
+        out = np.asarray(_sanitize_cond(c))
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out[0], [0.0, 1e4, -1e4, 1e4, -1e4, 3.5])
+
+    def test_in_range_tensor_is_untouched(self):
+        from etts.models.wavernn import _sanitize_cond
+        c = jax.random.normal(jax.random.PRNGKey(0), (7, 3, 11)) * 10.0
+        np.testing.assert_array_equal(np.asarray(_sanitize_cond(c)),
+                                      np.asarray(c))
+
+    def test_dump_hook_writes_and_rotates(self, tmp_path, monkeypatch):
+        # ETTS_DUMP_COND: the forensics hook persists the exact kernel input
+        from etts.models import wavernn as wr
+        monkeypatch.setenv("ETTS_DUMP_COND", str(tmp_path))
+        captured = {}
+
+        def fake_loop(cond, *a, **k):
+            captured["shape"] = cond.shape
+            return jnp.zeros((cond.shape[0], cond.shape[1]))
+
+        monkeypatch.setattr("etts.ops.pallas.wavernn_sample_loop", fake_loop)
+        model, variables, _, mels = _init("MOL")
+        wr.generate(model, variables, mels[0][None], target=30, overlap=10,
+                    mu_law=False, use_pallas=True)
+        files = sorted(p.name for p in tmp_path.glob("cond_*.npz"))
+        assert files == ["cond_0.npz"]
+        rec = np.load(tmp_path / "cond_0.npz")
+        assert tuple(rec["cond"].shape) == tuple(captured["shape"])
+        assert (tmp_path / "counter").read_text() == "1"
