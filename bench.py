@@ -728,7 +728,10 @@ def main():
                             rngs={"dropout": k, "prenet": k})["mel"]
 
         jax.block_until_ready(jax.jit(fwd_mel)(key))
-        return _device_time(fwd_mel, key, iters=8)
+        # the one-shot forward pass is ~100 us: it needs far more chained
+        # iterations than the ms-scale paths for the two-point difference
+        # to rise above tunnel jitter (round-4 recorded a flat 0.0)
+        return _device_time(fwd_mel, key, iters=64, n_trials=6)
 
     fwd_sec = g("forward_tts", _forward_stage)
     fwd_extras = {}

@@ -440,8 +440,10 @@ def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key,
         idx = int((dd / "counter").read_text()) if (dd / "counter").exists() \
             else 0
         c_np = _np.asarray(jax.device_get(cond))
-        _np.savez_compressed(dd / f"cond_{idx % 4}.npz", cond=c_np,
-                             idx=idx, mode=model.mode)
+        # uncompressed: these are ~100 MB tensors and the 1-core host pays
+        # ~a minute per compressed write; rotation bounds the disk use
+        _np.savez(dd / f"cond_{idx % 4}.npz", cond=c_np,
+                  idx=idx, mode=model.mode)
         (dd / "counter").write_text(str(idx + 1))
     seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
     kw = {} if weight_dtype is None else {"weight_dtype": weight_dtype}
