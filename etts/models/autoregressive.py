@@ -24,7 +24,7 @@ import flax.linen as nn
 import numpy as np
 
 from .layers import (SelfAttentionBlocks, CrossAttentionBlocks, DecoderPrenet,
-                     Postnet, ReferenceEncoderGST)
+                     Postnet, ReferenceEncoderGST, ProsodyStatEncoder)
 from ..ops.masking import (encoder_padding_mask, mel_padding_mask,
                            look_ahead_mask)
 
@@ -65,6 +65,12 @@ class AutoregressiveTransformer(nn.Module):
     encoder_feed_forward_dimension: int = 1024
     decoder_feed_forward_dimension: int = 1024
     max_r: int = 10
+    # explicit F0/energy conditioning alongside the GST (VERDICT r4 #4):
+    # deterministic per-utterance prosody stats of the reference mel,
+    # projected and concatenated with the style embedding — see
+    # layers.ProsodyStatEncoder. Off by default (reference parity).
+    use_prosody_stats: bool = False
+    prosody_embed_dim: int = 32
     dtype: Any = jnp.float32
 
     stop_prob_index: int = 2
@@ -104,6 +110,10 @@ class AutoregressiveTransformer(nn.Module):
                 multi_num_heads=self.gst_multi_num_heads,
                 gst_heads=self.gst_heads, dtype=self.dtype,
                 name="RefEncoderGST")
+            if self.use_prosody_stats:
+                self.prosody_encoder = ProsodyStatEncoder(
+                    embed_dim=self.prosody_embed_dim, dtype=self.dtype,
+                    name="ProsodyStats")
         self.decoder_prenet = DecoderPrenet(
             model_dim=self.decoder_model_dimension,
             dense_hidden_units=self.decoder_prenet_dimension,
@@ -148,6 +158,9 @@ class AutoregressiveTransformer(nn.Module):
             gst_output, gst_attn, gst_tokens = self.style_encoder(
                 targets, train=train_style_encoder, drop_n_heads=drop_n_heads)
             parts.append(jnp.tile(gst_output, (1, n, 1)))
+            if self.use_prosody_stats:
+                parts.append(jnp.tile(self.prosody_encoder(targets),
+                                      (1, n, 1)))
         if self.has_speaker:
             parts.append(jnp.tile(spk_embed, (1, n, 1)))
         enc_output = jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]

@@ -682,3 +682,65 @@ class CLUBNet(nn.Module):
             x = jax.nn.relu(nn.Dense(f, dtype=self.dtype, name=f"fc_{i}")(x))
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc_proj")(x)
         return jnp.tanh(x) if self.log_var else x
+
+
+class ProsodyStatEncoder(nn.Module):
+    """Explicit per-utterance prosody statistics alongside the GST.
+
+    Round-4 measured that the GST pathway transmits timbre but not pitch at
+    corpus scale (PITCH_TRACKING FAIL in every arm): the style bottleneck has
+    to DISCOVER prosody from raw reference mels. This block hands the decoder
+    the prosody signal explicitly — six deterministic per-utterance statistics
+    of the reference mel (pitch-centroid mean/spread, log-energy mean/spread,
+    voiced length, centroid movement rate), projected to a small embedding
+    that concatenates with the GST output. Supports the reference's
+    style-transfer program (`/root/reference/synthesize_sentences.py:31-40`
+    sarcasm/commanding/question ref_types) with a controllable pathway.
+
+    Statistics are stop-gradiented (pure measurement, no learned frontend) so
+    the projection cannot collude with the text encoder; padding frames
+    (all-zero, DataPrepper contract) are masked out. Input mel: TTS layout
+    (B, T, n_mels) in [-4, 4]."""
+    embed_dim: int = 32
+    n_centroid_bins: int = 48
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel):
+        m = jax.lax.stop_gradient(mel.astype(jnp.float32))
+        valid = (jnp.max(jnp.abs(m), axis=-1) > 1e-3).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(valid, axis=-1), 1.0)          # (B,)
+
+        def mean_(x):                                          # masked over T
+            return jnp.sum(x * valid, axis=-1) / n
+
+        def std_(x, mu):
+            return jnp.sqrt(mean_((x - mu[:, None]) ** 2) + 1e-6)
+
+        # pitch proxy: energy centroid over the low mel bins (log-mel in
+        # [-4, 4] -> bounded linear weights via exp); clamp the window to the
+        # actual channel count so small-mel configs (tests) stay valid
+        nb = min(self.n_centroid_bins, m.shape[-1])
+        e = jnp.exp(m[:, :, :nb])
+        bins = jnp.arange(nb, dtype=jnp.float32)
+        cent = jnp.sum(e * bins, axis=-1) / jnp.maximum(
+            jnp.sum(e, axis=-1), 1e-6)                         # (B, T)
+        c_mu = mean_(cent)
+        # frame log-energy
+        le = jnp.mean(m, axis=-1)                              # (B, T)
+        e_mu = mean_(le)
+        # centroid movement rate (articulation/tempo proxy)
+        both = valid[:, 1:] * valid[:, :-1]
+        dc = jnp.sum(jnp.abs(cent[:, 1:] - cent[:, :-1]) * both, axis=-1) \
+            / jnp.maximum(jnp.sum(both, axis=-1), 1.0)
+        feats = jnp.stack([
+            c_mu / nb,
+            std_(cent, c_mu) / 12.0,
+            e_mu / 4.0,
+            std_(le, e_mu) / 2.0,
+            n / 500.0,
+            dc / 8.0,
+        ], axis=-1)                                            # (B, 6)
+        out = jnp.tanh(nn.Dense(self.embed_dim, dtype=self.dtype,
+                                name="proj")(feats.astype(self.dtype)))
+        return out[:, None, :]                                 # (B, 1, dim)

@@ -185,6 +185,8 @@ class ConfigManager:
                 gst_style_embed_dim=c["gst_style_embed_dim"],
                 gst_multi_num_heads=c["gst_multi_num_heads"],
                 gst_heads=c["gst_heads"],
+                use_prosody_stats=c.get("use_prosody_stats", False),
+                prosody_embed_dim=c.get("prosody_embed_dim", 32),
                 max_r=self.max_r,
                 mel_start_value=c["mel_start_value"],
                 mel_end_value=c["mel_end_value"],

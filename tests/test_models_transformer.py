@@ -249,3 +249,61 @@ class TestAutoregressive:
         assert lengths.shape == (2,)
         assert (lengths >= 2).all()
         assert int(out["mel_length"]) == lengths.max()
+
+
+class TestProsodyStats:
+    def _mel(self, key, b=2, t=24, c=20, pitch_bin=4.0):
+        # synthetic "pitched" mel: energy bump around pitch_bin
+        bins = jnp.arange(c, dtype=jnp.float32)
+        bump = 3.0 * jnp.exp(-0.5 * ((bins - pitch_bin) / 1.5) ** 2) - 2.0
+        mel = jnp.tile(bump, (b, t, 1))
+        return mel + 0.1 * jax.random.normal(key, (b, t, c))
+
+    def test_padding_invariance(self):
+        from etts.models.layers import ProsodyStatEncoder
+        enc = ProsodyStatEncoder(embed_dim=8, n_centroid_bins=16)
+        key = jax.random.PRNGKey(0)
+        mel = self._mel(key)
+        variables = enc.init(key, mel)
+        out = enc.apply(variables, mel)
+        padded = jnp.pad(mel, ((0, 0), (0, 13), (0, 0)))  # all-zero frames
+        out_p = enc.apply(variables, padded)
+        assert out.shape == (2, 1, 8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_p),
+                                   atol=1e-5)
+
+    def test_pitch_sensitivity_and_grad_isolation(self):
+        from etts.models.layers import ProsodyStatEncoder
+        enc = ProsodyStatEncoder(embed_dim=8, n_centroid_bins=16)
+        key = jax.random.PRNGKey(1)
+        lo = self._mel(key, pitch_bin=3.0)
+        hi = self._mel(key, pitch_bin=9.0)
+        variables = enc.init(key, lo)
+        # distinct pitch -> distinct embedding
+        d = np.abs(np.asarray(enc.apply(variables, lo))
+                   - np.asarray(enc.apply(variables, hi))).max()
+        assert d > 1e-3
+        # stats are stop-gradiented: d(out)/d(mel) must be exactly zero
+        g = jax.grad(lambda m: jnp.sum(enc.apply(variables, m)))(lo)
+        assert float(jnp.abs(g).max()) == 0.0
+
+    def test_ar_model_with_prosody_stats(self):
+        model = AutoregressiveTransformer(
+            system_type="speaker_style_text", max_r=5,
+            gst_style_embed_dim=32, gst_multi_num_heads=2,
+            ref_encoder_filters=(4, 8), ref_encoder_gru_cell_units=16,
+            use_prosody_stats=True, prosody_embed_dim=8,
+            **TINY_AR_ONLY, **TINY)
+        x = jnp.ones((2, 7), jnp.int32)
+        mel = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 20))
+        spk = jnp.ones((2, 1, 32))
+        variables = model.init(rngs(), x, mel, spk, r=2)
+        assert "ProsodyStats" in variables["params"]
+        out, _ = model.apply(variables, x, mel, spk, True, True, True, r=2,
+                             rngs=rngs(), mutable=["batch_stats"])
+        assert out["final_output"].shape == (2, 12, 20)
+        # prediction path carries the wider encoder output end to end
+        pred = autoregressive_predict(model, variables, x, mel, spk, r=1,
+                                      max_length=6,
+                                      key=jax.random.PRNGKey(3))
+        assert pred["mel"].shape[0] == 2 and pred["mel"].shape[2] == 20
