@@ -534,12 +534,35 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         mels = mels[None]
     b0, t_mel, _ = mels.shape
     assert b0 == 1, "generate() vocodes one utterance; see generate_batch()"
+    dump_dir = os.environ.get("ETTS_DUMP_COND")
+    if dump_dir and not isinstance(mels, jax.core.Tracer):
+        # kernel-fault forensics, phase 0 (VERDICT r4 #3): the round-5a crash
+        # surfaced at the COND dump's own device_get — the worker died in
+        # device work enqueued before it, so nothing was ever captured. The
+        # input mel is host-known here (callers pass host arrays through
+        # jnp.asarray), so this write cannot be lost to the fault it records.
+        import numpy as _np
+        from pathlib import Path as _Path
+        dd = _Path(dump_dir)
+        dd.mkdir(parents=True, exist_ok=True)
+        midx = int((dd / "mel_counter").read_text()) \
+            if (dd / "mel_counter").exists() else 0
+        _np.savez(dd / f"mel_{midx % 4}.npz", mel=_np.asarray(mels),
+                  idx=midx, target=target, overlap=overlap,
+                  batched=batched, bucket=bucket)
+        (dd / "mel_counter").write_text(str(midx + 1))
+    # ETTS_VOC_SYNC=1: block between vocoder phases so a worker fault's
+    # traceback names the phase that enqueued the faulting program
+    # (upsample/fold vs conditioning vs sample kernel) instead of whichever
+    # later sync happens to observe the dead worker.
+    _sync = (jax.block_until_ready
+             if os.environ.get("ETTS_VOC_SYNC") else (lambda x: x))
     wave_len = (t_mel - 1) * model.hop_length
     if bucket:
         t_pad = _bucket_len(t_mel)
         mels = jnp.pad(mels, ((0, 0), (0, t_pad - t_mel), (0, 0)))
-    mels_up, aux = _upsample_and_fold(model, variables, mels, target, overlap,
-                                      batched)
+    mels_up, aux = _sync(_upsample_and_fold(model, variables, mels, target,
+                                            overlap, batched))
     full = mels_up.shape[0]
     if batched and bucket:
         # bucketing appends fold rows wholly past wave_len; drop them before
@@ -553,13 +576,13 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
         use_pallas = jax.default_backend() == "tpu"
     from ..ops.pallas import pallas_available
     if use_pallas and pallas_available:
-        output = _run_pallas_loop(model, variables["params"], mels_up, aux,
-                                  key,
-                                  weight_dtype=_int8_dtype(int8_weights))
+        output = _sync(_run_pallas_loop(model, variables["params"], mels_up,
+                                        aux, key,
+                                        weight_dtype=_int8_dtype(int8_weights)))
     else:
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
-        output = _run_sample_loop(model, streams, w, key)
+        output = _sync(_run_sample_loop(model, streams, w, key))
     if batched and output.shape[0] < full:
         # restore the bucketed row count for finalize (cheap, elementwise) so
         # its compile count stays one-per-bucket; zero rows only touch
@@ -592,6 +615,23 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     if key is None:
         key = jax.random.PRNGKey(0)
     mu_law = mu_law if model.mode == "RAW" else False
+    dump_dir = os.environ.get("ETTS_DUMP_COND")
+    if dump_dir:
+        # same phase-0 forensics as generate(): persist the host-side mels
+        # BEFORE any vocoder device work (see comment there)
+        import numpy as _np
+        from pathlib import Path as _Path
+        dd = _Path(dump_dir)
+        dd.mkdir(parents=True, exist_ok=True)
+        midx = int((dd / "mel_counter").read_text()) \
+            if (dd / "mel_counter").exists() else 0
+        _np.savez(dd / f"mel_{midx % 4}.npz",
+                  idx=midx, target=target, overlap=overlap, bucket=bucket,
+                  **{f"mel{j}": _np.asarray(m)
+                     for j, m in enumerate(mels_list)})
+        (dd / "mel_counter").write_text(str(midx + 1))
+    _sync = (jax.block_until_ready
+             if os.environ.get("ETTS_VOC_SYNC") else (lambda x: x))
     ups, auxs, counts, fulls, wave_lens = [], [], [], [], []
     for mel in mels_list:
         if mel.ndim == 2:
@@ -600,8 +640,8 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
         if bucket:
             t_pad = _bucket_len(mel.shape[1])
             mel = jnp.pad(mel, ((0, 0), (0, t_pad - mel.shape[1]), (0, 0)))
-        mu, au = _upsample_and_fold(model, variables, mel, target, overlap,
-                                    True)
+        mu, au = _sync(_upsample_and_fold(model, variables, mel, target,
+                                          overlap, True))
         fulls.append(mu.shape[0])
         if bucket:
             live = _live_folds(wave_lens[-1] + model.hop_length,
@@ -620,13 +660,13 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
         use_pallas = jax.default_backend() == "tpu"
     from ..ops.pallas import pallas_available
     if use_pallas and pallas_available:
-        output = _run_pallas_loop(model, variables["params"], mels_up, aux,
-                                  key,
-                                  weight_dtype=_int8_dtype(int8_weights))
+        output = _sync(_run_pallas_loop(model, variables["params"], mels_up,
+                                        aux, key,
+                                        weight_dtype=_int8_dtype(int8_weights)))
     else:
         streams, w = _conditioning_streams(model, variables["params"],
                                            mels_up, aux)
-        output = _run_sample_loop(model, streams, w, key)
+        output = _sync(_run_sample_loop(model, streams, w, key))
     wavs, ofs = [], 0
     for count, full, wave_len in zip(counts, fulls, wave_lens):
         rows = output[ofs:ofs + count]
