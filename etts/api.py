@@ -9,6 +9,8 @@ spectrogram, inverse preemphasis, endpoint trim).
 from __future__ import annotations
 
 from pathlib import Path
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -71,6 +73,11 @@ class TTSSynthesizer:
         geometry). Tiny/debug dims stay on the while_loop path — the TPU
         compiler rejects (or crawls on) degenerate sub-lane shapes
         (BENCH_NOTES round-1 note)."""
+        if os.environ.get("ETTS_NO_FUSED_DECODE"):
+            # crash-forensics / serving mitigation switch: pin the decode to
+            # the while_loop path so the fused kernel can be ruled in or out
+            # as the source of a worker fault (VERDICT r4 #3)
+            return False
         m = self.model
         return (jax.default_backend() == "tpu"
                 and m.decoder_model_dimension >= 128
