@@ -89,6 +89,39 @@ class DataPrepper:
         return norm_mel, tokens, stop, np.asarray(spk_embed, np.float32)
 
 
+class GTADataPrepper(DataPrepper):
+    """DataPrepper plus a frozen checkpoint's teacher-forced (GTA) mel.
+
+    Free-run-matched fine-tuning (VERDICT r4 #6): the decoder trains on the
+    model's OWN predicted frames as input (the distribution it sees when
+    free-running) while targets stay ground truth. `scripts/make_gta.py
+    --tts_out` writes the aligned GTA mels; this prepper pairs each sample
+    with its GTA mel (same sentinels, trimmed/padded to the GT length so the
+    5-tuple collates shape-equal). Analogous to the reference's GTA vocoder
+    workflow (`/root/reference/WaveRNN/utility/dataset.py:16-30`) applied one
+    level up the stack."""
+
+    def __init__(self, config: dict, tokenizer, gta_dir):
+        super().__init__(config, tokenizer)
+        self.gta_dir = str(gta_dir)
+
+    def __call__(self, sample):
+        phonemes, text, mel_path, spk_path = sample
+        mel = np.load(mel_path)
+        spk = np.array([np.inf]) if spk_path is None else np.load(spk_path)
+        uid = os.path.splitext(os.path.basename(mel_path))[0]
+        gta = np.load(os.path.join(self.gta_dir, uid + ".npy"))
+        t = mel.shape[0]
+        if gta.shape[0] < t:  # off-by-one safety: repeat-pad the last frame
+            gta = np.concatenate(
+                [gta, np.repeat(gta[-1:], t - gta.shape[0], 0)], axis=0)
+        gta = gta[:t]
+        norm_mel, tokens, stop, spk = self._run(phonemes, text, mel, spk)
+        norm_gta = np.concatenate([self.start_vec, gta, self.end_vec],
+                                  axis=0).astype(np.float32)
+        return norm_mel, tokens, stop, spk, norm_gta
+
+
 class ForwardDataPrepper:
     """npy triple (mel, phonemes, durations) loader (`data_handling.py:111-115`).
 
@@ -170,6 +203,15 @@ class Dataset:
                 np.stack([np.atleast_1d(s) for s in spks]),
             )
             return batch
+        if len(items[0]) == 5:  # GTA fine-tune: (..., gta_mel), see
+            mels, tokens, stops, spks, gtas = zip(*items)  # GTADataPrepper
+            return (
+                _pad_batch(mels, self.pad_mel_multiple),
+                _pad_batch(tokens, self.pad_text_multiple),
+                _pad_batch(stops, self.pad_mel_multiple),
+                np.stack([np.atleast_1d(s) for s in spks]),
+                _pad_batch(gtas, self.pad_mel_multiple),
+            )
         # forward: (mel, tokens, durations)
         mels, tokens, durs = zip(*items)
         return (_pad_batch(mels, self.pad_mel_multiple),

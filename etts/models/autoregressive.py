@@ -234,10 +234,18 @@ class AutoregressiveTransformer(nn.Module):
                  train_text_encoder: bool = False,
                  train_style_encoder: bool = False,
                  train_decoder: bool = False, r: int = 1,
-                 prenet_dropout: float = 0.5, drop_n_heads=0):
+                 prenet_dropout: float = 0.5, drop_n_heads=0,
+                 style_targets=None):
+        # ``style_targets``: optional separate mel for the style/prosody
+        # encoders (defaults to ``targets``, the reference's behavior). The
+        # scheduled-sampling and GTA-input fine-tune steps corrupt the
+        # DECODER input with model predictions; the style reference must
+        # stay the clean ground-truth mel, matching serving (where the
+        # reference audio is real).
         (enc_out, cross_mask, text_attn, gst_attn, gst_tokens, gst_output,
          text_enc_output) = self.encode(
-            inputs, targets, spk_embed, train_text_encoder,
+            inputs, targets if style_targets is None else style_targets,
+            spk_embed, train_text_encoder,
             train_style_encoder, drop_n_heads)
         model_out = self.decode(enc_out, targets, cross_mask,
                                 train=train_decoder, drop_n_heads=drop_n_heads,

@@ -117,7 +117,8 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
                                    train_decoder: bool = True,
                                    adversarial_mine=None,
                                    seq_sharding=None,
-                                   scheduled_sampling: bool = False):
+                                   scheduled_sampling: bool = False,
+                                   gta_inputs: bool = False):
     """``adversarial_mine``: optional zoo of ``(kind, net)`` MINE/CLUB modules
     (as built by the driver). When given, the step signature becomes
     ``step(state, batch, mine_params_list, mi_state, rng, *, r, ...)`` and the
@@ -141,7 +142,15 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
     bit-identical to the plain teacher-forced step. The reference never
     mitigates its exposure bias (its free-running quality silently degrades
     past the dropout switch); this is the TPU-side improvement, motivated by
-    the round-3 soak's checkpoint-selection curve."""
+    the round-3 soak's checkpoint-selection curve.
+
+    ``gta_inputs``: free-run-matched fine-tuning (VERDICT r4 #6). The batch
+    carries a fifth tensor — a FROZEN checkpoint's teacher-forced (GTA)
+    prediction aligned 1:1 with the GT mel (`scripts/make_gta.py --tts_out`,
+    `GTADataPrepper`) — which becomes the decoder input, while targets and
+    the style reference stay ground truth. Unlike ``scheduled_sampling``,
+    the input distribution is stationary (no evolving-model feedback) and
+    costs no second forward pass."""
     stop_ce = new_scaled_crossentropy(index=2, scaling=stop_scaling)
     loss_fns = (masked_mean_absolute_error, stop_ce,
                 masked_mean_absolute_error)
@@ -149,7 +158,10 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
     @functools.partial(jax.jit, static_argnames=("r",))
     def step(state, batch, mi_loss, rng, *, r: int, prenet_dropout=0.5,
              drop_n_heads=0, ss_rate=0.0):
-        mel, phonemes, stop, spk = batch
+        if gta_inputs:
+            mel, phonemes, stop, spk, gta_mel = batch
+        else:
+            mel, phonemes, stop, spk = batch
         if seq_sharding is not None:
             mel = jax.lax.with_sharding_constraint(mel, seq_sharding)
         spk_in = spk[:, None, :] if model.has_speaker else None
@@ -161,6 +173,17 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             dec_inp = tar_mel
+            style_tar = None
+            if gta_inputs:
+                # free-run-matched fine-tune (VERDICT r4 #6): the decoder
+                # input is a FROZEN checkpoint's teacher-forced prediction
+                # (the distribution free-running feeds back), targets stay
+                # ground truth, the style encoder keeps the clean GT mel
+                _, gta_tar, _, _ = model.input_reshape(gta_mel, stop, r)
+                # keep the GO frame + sentinels exact (the model must still
+                # learn the start transition from the true start vector)
+                dec_inp = gta_tar.at[:, :1].set(tar_mel[:, :1])
+                style_tar = tar_mel
             if scheduled_sampling:
                 # pass 1: the model's own teacher-forced predictions under
                 # inference-style stochasticity (train flags off, prenet
@@ -184,10 +207,15 @@ def make_autoregressive_train_step(model: AutoregressiveTransformer, tx, *,
                     jax.random.fold_in(ss_rng, 1), ss_rate,
                     (tar_mel.shape[0], tar_mel.shape[1], 1))
                 dec_inp = jnp.where(mix, pred_tar, tar_mel)
+                # the style reference must stay the clean GT mel — the
+                # round-4 ss arms fed the mixed input to the GST too,
+                # corrupting the style pathway they were regularizing
+                style_tar = tar_mel
             out, mut = model.apply(
                 variables, phonemes, dec_inp, spk_in,
                 train_text_encoder, train_style_encoder, train_decoder,
                 r=r, prenet_dropout=prenet_dropout, drop_n_heads=drop_n_heads,
+                style_targets=style_tar,
                 rngs=_split_rngs(rng, ["dropout", "prenet"]),
                 mutable=["batch_stats"])
             tts_loss, vals = weighted_sum_losses(
@@ -260,7 +288,7 @@ def make_autoregressive_val_step(model: AutoregressiveTransformer, *,
 
     @functools.partial(jax.jit, static_argnames=("r",))
     def step(state, batch, rng, *, r: int = 1):
-        mel, phonemes, stop, spk = batch
+        mel, phonemes, stop, spk = batch[:4]  # tolerate GTA 5-tuples
         spk_in = spk[:, None, :] if model.has_speaker else None
         tar_real, tar_mel, tar_stop, mel_len = model.input_reshape(mel, stop, r)
         out = model.apply(state.variables(), phonemes, tar_mel, spk_in,

@@ -25,13 +25,17 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--session_name", type=str, default=None)
-    parser.add_argument("--voc_data", type=str, required=True,
+    parser.add_argument("--voc_data", type=str, default=None,
                         help="vocoder dataset dir (gta/ is created inside)")
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="checkpoint step dir (default: latest) — GTA "
                         "should use the BEST free-running checkpoint, not "
                         "the last (exposure bias, SOAK_NOTES.md)")
+    parser.add_argument("--tts_out", type=str, default=None,
+                        help="also write raw TTS-layout GTA mels ((t, n_mels)"
+                        " in [-4, 4]) here — decoder inputs for the AR "
+                        "free-run-matched fine-tune (GTADataPrepper)")
     args = parser.parse_args()
 
     cm = ConfigManager(args.config, "autoregressive", args.session_name)
@@ -46,8 +50,16 @@ def main():
     val_step = make_autoregressive_val_step(model)
     key = jax.random.PRNGKey(0)
 
-    gta_dir = Path(args.voc_data) / "gta"
-    gta_dir.mkdir(parents=True, exist_ok=True)
+    if not args.voc_data and not args.tts_out:
+        raise SystemExit("nothing to write: pass --voc_data and/or --tts_out")
+    gta_dir = None
+    if args.voc_data:
+        gta_dir = Path(args.voc_data) / "gta"
+        gta_dir.mkdir(parents=True, exist_ok=True)
+    tts_dir = None
+    if args.tts_out:
+        tts_dir = Path(args.tts_out)
+        tts_dir.mkdir(parents=True, exist_ok=True)
     # speaker-conditioned models need their d-vectors teacher-forced too
     # (same contract as the training driver)
     spk_dir = (cm.train_datadir / "spk_embeds"
@@ -70,12 +82,17 @@ def main():
             mel_in = np.asarray(batch[0])
             for b in range(pred.shape[0]):
                 mel_len = int((np.abs(mel_in[b]).sum(-1) != 0).sum()) - 2
-                gta = (pred[b, :mel_len].T + 4.0) / 8.0  # (n_mels, t), [0,1]
-                np.save(gta_dir / f"{ids[idx]}.npy",
-                        gta.astype(np.float32))
+                raw = pred[b, :mel_len]  # (t, n_mels) in [-4, 4]
+                if gta_dir is not None:
+                    # vocoder store convention: (n_mels, t) in [0, 1]
+                    np.save(gta_dir / f"{ids[idx]}.npy",
+                            ((raw.T + 4.0) / 8.0).astype(np.float32))
+                if tts_dir is not None:
+                    np.save(tts_dir / f"{ids[idx]}.npy",
+                            raw.astype(np.float32))
                 idx += 1
                 n += 1
-    print(f"wrote {n} GTA mels to {gta_dir}")
+    print(f"wrote {n} GTA mels to {gta_dir or ''} {tts_dir or ''}")
 
 
 if __name__ == "__main__":

@@ -69,6 +69,11 @@ def main():
                         help="skip interactive dir-reset prompts")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax profiler trace of steps 10-30")
+    parser.add_argument("--gta_mel_dir", type=str, default=None,
+                        help="dir of frozen-checkpoint teacher-forced mels "
+                        "(make_gta.py --tts_out): free-run-matched fine-tune "
+                        "— decoder inputs come from these, targets/style "
+                        "stay ground truth (VERDICT r4 #6)")
     add_multihost_args(parser)
     args = parser.parse_args()
     maybe_init_multihost(args)  # before any jax device use
@@ -95,7 +100,11 @@ def main():
             f"{spk_dir}; none found")
     samples, _ = load_files(train_meta, cm.train_datadir / "mels", spk_dir,
                             config.get("n_samples"))
-    prepper = DataPrepper(config, pipeline.tokenizer)
+    if args.gta_mel_dir:
+        from etts.data.dataset import GTADataPrepper
+        prepper = GTADataPrepper(config, pipeline.tokenizer, args.gta_mel_dir)
+    else:
+        prepper = DataPrepper(config, pipeline.tokenizer)
     tts_batch = config.get("tts_batch_size", 8)
     dataset = Dataset(samples, prepper, tts_batch,
                       mel_channels=config["mel_channels"])
@@ -193,7 +202,8 @@ def main():
         train_decoder=config.get("train_decoder", True),
         adversarial_mine=(mine_nets if adversarial else None),
         seq_sharding=seq_sharding,
-        scheduled_sampling=ss_enabled)
+        scheduled_sampling=ss_enabled,
+        gta_inputs=bool(args.gta_mel_dir))
 
     if mesh is not None:
         state = replicate(state, mesh)

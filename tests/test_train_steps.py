@@ -135,6 +135,62 @@ class TestAutoregressiveTraining:
         assert abs(losses[0] - float(m0["loss"])) > 1e-6
         assert losses[-1] < losses[0]  # still trains
 
+    def test_gta_inputs_identity_matches_plain(self):
+        # gta == gt mel -> the GTA-input step is numerically the plain step
+        model, state, plain, batch, tx = self._setup()
+        gta = make_autoregressive_train_step(model, tx, gta_inputs=True)
+        key = jax.random.PRNGKey(4)
+        _, m0, _ = plain(state, batch, jnp.zeros(()), key, r=5)
+        _, m1, _ = gta(state, batch + (batch[0],), jnp.zeros(()), key, r=5)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-6)
+
+    def test_gta_inputs_differs_and_trains(self):
+        # corrupted decoder inputs (a frozen model's predictions stand-in):
+        # loss differs from the plain step but still decreases — targets and
+        # the style reference stay ground truth
+        model, state, plain, batch, tx = self._setup()
+        gta_step = make_autoregressive_train_step(model, tx, gta_inputs=True)
+        key = jax.random.PRNGKey(4)
+        mel = batch[0]
+        noisy = mel + 0.3 * jax.random.normal(key, mel.shape)
+        _, m0, _ = plain(state, batch, jnp.zeros(()), key, r=5)
+        losses = []
+        for i in range(10):
+            state, m, _ = gta_step(state, batch + (noisy,), jnp.zeros(()),
+                                   jax.random.fold_in(key, i), r=5)
+            losses.append(float(m["loss"]))
+            assert np.isfinite(losses[-1])
+        assert abs(losses[0] - float(m0["loss"])) > 1e-6
+        assert losses[-1] < losses[0]
+
+    def test_gta_prepper_pairs_and_collates(self, tmp_path):
+        from etts.data.dataset import GTADataPrepper, Dataset
+        import yaml  # noqa: F401  (config dict built inline)
+        mel_dir = tmp_path / "mels"
+        gta_dir = tmp_path / "gta"
+        mel_dir.mkdir(); gta_dir.mkdir()
+        rng = np.random.default_rng(0)
+        samples = []
+        for i, t in enumerate((11, 14, 9)):
+            np.save(mel_dir / f"u{i}.npy",
+                    rng.standard_normal((t, 12)).astype(np.float32))
+            # off-by-one shorter GTA exercises the repeat-pad safety
+            np.save(gta_dir / f"u{i}.npy",
+                    rng.standard_normal((t - (i == 1), 12)).astype(np.float32))
+            samples.append(("ab", "ab", str(mel_dir / f"u{i}.npy"), None))
+        cfg = {"mel_channels": 12, "mel_start_value": 0.5,
+               "mel_end_value": -0.5}
+        tok = lambda s: [1, 2]
+        prepper = GTADataPrepper(cfg, tok, gta_dir)
+        item = prepper(samples[0])
+        assert len(item) == 5 and item[0].shape == item[4].shape
+        assert np.allclose(item[4][0], 0.5) and np.allclose(item[4][-1], -0.5)
+        ds = Dataset(samples, prepper, 3, shuffle=False, drop_remainder=False,
+                     mel_channels=12)
+        batch = next(ds.all_batches())
+        assert len(batch) == 5 and batch[0].shape == batch[4].shape
+
     def test_scheduled_sampling_rate_is_traced_not_static(self):
         # ss_rate changes must NOT retrace (schedules run every step)
         model, state, _, batch, tx = self._setup()
