@@ -127,7 +127,7 @@ def main():
         case = {"case": name, "ok": ok, "rc": proc.returncode,
                 "died_at": died_at, "sec": round(time.time() - t0, 1),
                 "steps": steps, "stderr_tail":
-                    proc.stderr.strip().splitlines()[-4:]}
+                    proc.stderr.strip().splitlines()[-30:]}
         results.append(case)
         print(json.dumps({k: case[k] for k in
                           ("case", "ok", "rc", "died_at", "sec")}),

@@ -113,17 +113,29 @@ def _probe_text_leakage(cached, labels, seed=0, epochs=400):
     return float((pred == y[te]).mean()), float(chance)
 
 
-def _train_fresh_critic(cached, pair, steps, seed=0):
-    """Fresh MINE (KL) critic on frozen embeddings -> converged MI bound."""
+def _train_fresh_critic(cached, pair, steps, seed=0, kind="MINE"):
+    """Fresh critic on frozen embeddings -> converged MI bound.
+
+    ``kind="MINE"``: KL Donsker-Varadhan LOWER bound (noisy at corpus scale).
+    ``kind="CLUB"``: contrastive log-ratio UPPER bound — the defensibility
+    half (VERDICT r4 #5): an arm whose CLUB bound drops has provably-smaller
+    MI up to the variational gap, whereas a MINE increase alone can mean
+    either more MI or just an easier-to-read embedding geometry."""
     key = jax.random.PRNGKey(seed)
-    mine = MINE(pair_type=pair, divergence_type="KL")
-    mi_state = MIState.create(mine.n_beta)
+    if kind == "CLUB":
+        from etts.models.mine import CLUB
+        t0, g0, s0 = cached[0]
+        out_dim = (t0.shape[-1] if pair == "style_text" else s0.shape[-1])
+        mine = CLUB(pair_type=pair, out_dim=out_dim)
+    else:
+        mine = MINE(pair_type=pair, divergence_type="KL")
+    mi_state = MIState.create(getattr(mine, "n_beta", 1))
     t0, g0, s0 = cached[0]
     vars0 = mine.init(key, jnp.asarray(t0), jnp.asarray(g0),
                       jnp.asarray(s0), mi_state, key)
     tx = make_optimizer([[0, 1e-4]])
     st = TrainState.create(vars0, tx)
-    upd = make_mine_update(mine, tx, kind="MINE")
+    upd = make_mine_update(mine, tx, kind=kind)
     tail = []
     for i in range(steps):
         t, g, s = cached[i % len(cached)]
@@ -152,6 +164,10 @@ def main():
     parser.add_argument("--probe_first_token", action="store_true",
                         help="also report a linear style->first-token probe "
                         "accuracy (direct text-leakage measure)")
+    parser.add_argument("--club", action="store_true",
+                        help="also train fresh CLUB critics and report the "
+                        "MI UPPER bound per pair (VERDICT r4 #5: bracket the "
+                        "MI between the MINE lower and CLUB upper bounds)")
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args()
 
@@ -174,16 +190,21 @@ def main():
             print(f"{session}@{step} style->first-token linear probe: "
                   f"acc {acc:.3f} (chance {chance:.3f})")
         for pair in args.pairs:
-            vals = [_train_fresh_critic(cached, pair, args.critic_steps,
-                                        seed=s) for s in range(args.seeds)]
-            row = dict(session=session, step=step, pair=pair,
-                       mi_mean=round(float(np.mean(vals)), 4),
-                       mi_std=round(float(np.std(vals)), 4),
-                       critics=args.seeds)
-            rows.append(row)
-            print(f"{session}@{step} {pair}: "
-                  f"MI = {row['mi_mean']:.4f} ± {row['mi_std']:.4f} "
-                  f"({args.seeds} fresh critics)")
+            kinds = ["MINE"] + (["CLUB"] if args.club else [])
+            for kind in kinds:
+                vals = [_train_fresh_critic(cached, pair, args.critic_steps,
+                                            seed=s, kind=kind)
+                        for s in range(args.seeds)]
+                tag = pair if kind == "MINE" else f"{pair}:CLUB_upper"
+                row = dict(session=session, step=step, pair=tag,
+                           mi_mean=round(float(np.mean(vals)), 4),
+                           mi_std=round(float(np.std(vals)), 4),
+                           critics=args.seeds)
+                rows.append(row)
+                bound = "lower" if kind == "MINE" else "UPPER"
+                print(f"{session}@{step} {pair} [{kind} {bound} bound]: "
+                      f"MI = {row['mi_mean']:.4f} ± {row['mi_std']:.4f} "
+                      f"({args.seeds} fresh critics)")
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
         with open(args.out, "w", newline="") as f:

@@ -1,5 +1,22 @@
-"""Build the entangled corpus + base/mine config dirs for the TPU
-reference-scale disentanglement experiment."""
+"""Build the entangled corpus + the disentanglement experiment arms.
+
+Round-5 extension (VERDICT r4 #5): the round-4 result was mixed — the linear
+leakage probe improved under `mine_adversarial` but the fresh-critic MINE
+bound got WORSE (one arm, weight 0.5). To make the result defensible this now
+generates a mine_weight_factor SWEEP (the single arm may simply have been
+under- or over-weighted) plus a CLUB-objective arm; `eval_disentanglement.py
+--club` then brackets each arm's MI between the MINE lower and CLUB upper
+bounds. Reference goal under test: TransformerTTS/README.md:27-52 (MI
+minimization between style/text/speaker embeddings).
+
+Arms (config dirs `.soak_ent_<arm>`):
+    base  — no MINE                        (control)
+    w02   — adversarial MINE, weight 0.2
+    mine  — adversarial MINE, weight 0.5   (the round-4 arm, reproducible)
+    w20   — adversarial MINE, weight 2.0
+    club  — adversarial CLUB, weight 0.5   (minimize an UPPER bound: the
+            theoretically-sound direction for a minimization target)
+"""
 import subprocess
 import sys
 from pathlib import Path
@@ -11,6 +28,7 @@ if not (out / "metadata.csv").exists():
     subprocess.run([sys.executable, "scripts/make_synth_corpus.py", "--out",
                     str(out), "--n_utts", "240", "--entangle_style"],
                    cwd=root, check=True)
+if not (out / "train_metafile.txt").exists():
     subprocess.run([sys.executable, "scripts/create_dataset.py", "--config",
                     str(out), "--njobs", "8", "--phonemizer_backend",
                     "grapheme"], cwd=root, check=True)
@@ -23,17 +41,24 @@ a.update(dict(max_steps=10000, use_mine=False, mine_adversarial=False,
                                                [7000, 0.5]],
               weights_save_frequency=2000, keep_n_weights=6,
               prediction_start_step=10**9, audio_start_step=10**9))
-for name, mine in (("base", False), ("mine", True)):
+
+ARMS = {
+    "base": None,
+    "w02": dict(mine_type="MINE", mine_weight_factor=0.2),
+    "mine": dict(mine_type="MINE", mine_weight_factor=0.5),
+    "w20": dict(mine_type="MINE", mine_weight_factor=2.0),
+    "club": dict(mine_type="CLUB", mine_weight_factor=0.5),
+}
+for name, mine in ARMS.items():
     cfg = root / f".soak_ent_{name}"
     cfg.mkdir(exist_ok=True)
     dd = dict(d)
     dd["log_directory"] = str(cfg / "checkpoints")
     yaml.safe_dump(dd, open(cfg / "data_config.yaml", "w"))
     aa = dict(a)
-    if mine:
+    if mine is not None:
         aa.update(dict(use_mine=True, mine_adversarial=True,
-                       mine_type="MINE", mine_weight_factor=0.5,
-                       mine_sep_call=False))
+                       mine_sep_call=False, **mine))
     aa["log_directory"] = str(cfg / "checkpoints")
     yaml.safe_dump(aa, open(cfg / "autoregressive_config.yaml", "w"))
-print("ent setup done")
+print("ent setup done:", ", ".join(ARMS))

@@ -89,7 +89,7 @@ def main():
                 capture_output=True, text=True, timeout=a.timeout, env=env)
             ok = proc.returncode == 0 and "CHILD_OK" in proc.stdout
             tail = (proc.stdout.strip().splitlines()[-6:]
-                    + proc.stderr.strip().splitlines()[-8:])
+                    + proc.stderr.strip().splitlines()[-30:])
             case = {"dump": dump.name, "mode": mode, "ok": ok,
                     "rc": proc.returncode, "sec": round(time.time() - t0, 1),
                     "tail": tail}
