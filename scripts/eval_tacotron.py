@@ -21,8 +21,13 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--session_name", type=str, default=None)
     parser.add_argument("--sentences", type=str, nargs="*", default=None)
+    parser.add_argument("--sentences_file", type=str, default=None,
+                        help="id|text metafile: synthesize each row and name "
+                        "the output <id>.wav so objective_measure.py can "
+                        "pair it with the ground-truth wav (taco soak)")
     parser.add_argument("--reference_audio", type=str, default=None)
     parser.add_argument("--out_dir", type=str, default="taco_out")
+    parser.add_argument("--n_utts", type=int, default=10)
     args = parser.parse_args()
 
     from etts.api import TacotronSynthesizer
@@ -39,11 +44,22 @@ def main():
         y, _ = load_wav(args.reference_audio, sr)
         _, ref_mel = taco_linear_and_mel(y, synth.config)
 
-    for i, text in enumerate(args.sentences or SENTENCES):
-        print(f"[{i}] {text!r}")
+    rows = [(f"eval_{i}", t)
+            for i, t in enumerate(args.sentences or SENTENCES)]
+    if args.sentences_file:
+        rows = []
+        with open(args.sentences_file, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split("|")
+                if len(parts) >= 2:
+                    rows.append((parts[0], parts[1]))
+        rows = rows[:args.n_utts]
+
+    for i, (uid, text) in enumerate(rows):
+        print(f"[{uid}] {text!r}")
         wav, alignment = synth.synthesize(text, reference_mel=ref_mel)
         wav = np.asarray(wav)[:find_endpoint(np.asarray(wav), sr)]
-        save_wav(wav, out_dir / f"eval_{i}.wav", sr)
+        save_wav(wav, out_dir / f"{uid}.wav", sr)
         try:
             import matplotlib
             matplotlib.use("Agg")
@@ -52,7 +68,7 @@ def main():
             plt.imshow(alignment.T, aspect="auto", origin="lower")
             plt.xlabel("decoder step")
             plt.ylabel("encoder step")
-            plt.savefig(out_dir / f"eval_{i}_align.png", dpi=120)
+            plt.savefig(out_dir / f"{uid}_align.png", dpi=120)
             plt.close()
         except Exception:  # noqa: BLE001
             pass
