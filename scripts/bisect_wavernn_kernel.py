@@ -37,6 +37,43 @@ variant = sys.argv[4] if len(sys.argv) > 4 else "normal"
 sys.path.insert(0, "/root/repo")
 from etts.ops.pallas.wavernn_cell import wavernn_sample_loop
 
+if variant.startswith("trained"):
+    # phase 3 (round 5): every prior grid point used RANDOM weights — the
+    # trained-weights ingredient was never isolated. Load the vocsoak
+    # checkpoint and run the kernel on synthetic cond at the crash geometry.
+    from etts.utils.config import ConfigManager, _init_variables
+    from etts.utils.checkpoints import CheckpointManager
+    cm = ConfigManager(".soak", "wavernn", "vocsoak")
+    model = cm.get_model()
+    variables = _init_variables(model, cm.config, "wavernn")
+    mngr = CheckpointManager(cm.weights_dir)
+    restored, step = mngr.restore({"params": variables["params"]},
+                                  partial=True)
+    assert step is not None, "no trained vocoder checkpoint"
+    p = restored["params"]
+    d = model.rnn_dims
+    feat, adim = model.feat_dims, model.aux_dims
+    mode = model.mode
+    k = jax.random.PRNGKey(0)
+    cond = jax.random.normal(k, (T, B, feat + 4 * adim)) * 0.5
+    if variant == "trained_big":
+        cond = cond * 40.0  # runaway-mel-scale conditioning
+    Wf1, bf1 = p["fc1"]["kernel"], p["fc1"]["bias"]
+    Wf2, bf2 = p["fc2"]["kernel"], p["fc2"]["bias"]
+    out = wavernn_sample_loop(
+        cond, p["I"]["kernel"], p["I"]["bias"],
+        p["rnn1_wi"], p["rnn1_wh"], p["rnn1_bi"], p["rnn1_bh"],
+        p["rnn2_wi"][:d], p["rnn2_wi"][d:], p["rnn2_wh"],
+        p["rnn2_bi"], p["rnn2_bh"],
+        Wf1[:d], Wf1[d:], bf1, Wf2[:model.fc_dims], Wf2[model.fc_dims:], bf2,
+        p["fc3"]["kernel"], p["fc3"]["bias"], seed=7,
+        feat=feat, adim=adim, mode=mode, n_classes=model.n_classes)
+    out.block_until_ready()
+    import numpy as np
+    np.asarray(out)
+    print("CHILD_OK", out.shape)
+    sys.exit(0)
+
 d, fc, feat, adim = 512, 512, 80, 32
 n_out = 30 if mode == "MOL" else 512
 k = jax.random.PRNGKey(0)
@@ -131,6 +168,10 @@ def main():
     p.add_argument("--mode", default="MOL", choices=["MOL", "RAW"])
     p.add_argument("--timeout", type=int, default=600)
     p.add_argument("--out", default="artifacts/soak/kernel_bisect.json")
+    p.add_argument("--phase3", action="store_true",
+                   help="trained-weights isolation: the vocsoak checkpoint "
+                   "+ synthetic cond at the crash geometry (every prior "
+                   "grid point used random weights)")
     p.add_argument("--phase2", action="store_true",
                    help="data-dependence sweep (the full geometry grid "
                    "PASSED with finite cond): extreme/NaN/Inf conditioning "
@@ -139,7 +180,14 @@ def main():
     a = p.parse_args()
 
     results = {}
-    if a.phase2:
+    if a.phase3:
+        for B, T, variant in ((11, 12100, "trained"), (16, 12100, "trained"),
+                              (16, 12100, "trained_big"),
+                              (8, 12100, "trained"), (16, 6050, "trained")):
+            _run_point(f"kernel_B{B}_T{T}_{variant}",
+                       [sys.executable, "-c", CHILD, str(B), str(T), a.mode,
+                        variant], results, a.timeout)
+    elif a.phase2:
         for variant in ("scale50", "nan", "inf"):
             _run_point(f"kernel_B16_T12100_{variant}",
                        [sys.executable, "-c", CHILD, "16", "12100", a.mode,
