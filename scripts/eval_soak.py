@@ -41,6 +41,12 @@ def main():
                              "it, so one run yields the neural-vs-GL "
                              "comparison from the SAME mels (VERDICT r3 "
                              "missing #1 'done' criterion)")
+    parser.add_argument("--voc_scan", action="store_true",
+                        help="force the lax.scan vocoder sample loop (the "
+                        "fused kernel's fallback) — the neural-vs-GL gate "
+                        "does not depend on WHICH loop runs the same model, "
+                        "and the kernel's long-mel worker fault must not "
+                        "hold the quality measurement hostage")
     parser.add_argument("--model_kind", type=str, default="autoregressive",
                         choices=["autoregressive", "forward"])
     parser.add_argument("--attn_stop_patience", type=int, default=None,
@@ -92,8 +98,9 @@ def main():
         """TTS mel (t, 80) in [-4, 4] -> waveform (trained WaveRNN when
         given, else Griffin-Lim), via the (mel+4)/8 store contract."""
         if vocoder is not None:
-            return np.asarray(vocoder.generate((mel_t80 + 4.0) / 8.0,
-                                               key=key))
+            return np.asarray(vocoder.generate(
+                (mel_t80 + 4.0) / 8.0, key=key,
+                use_pallas=False if args.voc_scan else None))
         return np.asarray(tts.audio.reconstruct_waveform(mel_t80.T,
                                                          n_iter=32))
 
@@ -140,7 +147,8 @@ def main():
         if args.int8_gate and vocoder is not None:
             wav8 = np.asarray(vocoder.generate(
                 (mel + 4.0) / 8.0, key=jax.random.PRNGKey(1000 + i),
-                int8_weights=True))
+                int8_weights=True,
+                use_pallas=False if args.voc_scan else None))
             m8 = compute_all_metrics(np.asarray(gt), wav8, sr)
             m_f32 = compute_all_metrics(np.asarray(gt), wav, sr)
             int8_deltas.append((m_f32["STOI"] - m8["STOI"],
