@@ -426,6 +426,12 @@ def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key,
     Wf3, bf3 = params["fc3"]["kernel"], params["fc3"]["bias"]
     cond = jnp.swapaxes(jnp.concatenate([mels_up, aux], -1), 0, 1)  # (T,B,C)
     cond = _sanitize_cond(cond)
+    if os.environ.get("ETTS_VOC_SYNC") and not isinstance(
+            cond, jax.core.Tracer):
+        # forensics: separate the eager cond-construction programs
+        # (concat/transpose/sanitize on a ~100 MB tensor) from the Pallas
+        # kernel itself — a fault here exonerates the kernel
+        cond = jax.block_until_ready(cond)
     dump_dir = os.environ.get("ETTS_DUMP_COND")
     if dump_dir and not isinstance(cond, jax.core.Tracer):
         # (skipped under an outer jit trace: there is no concrete tensor to
