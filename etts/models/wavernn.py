@@ -445,7 +445,14 @@ def _run_pallas_loop(model: WaveRNN, params, mels_up, aux, key,
         dd.mkdir(parents=True, exist_ok=True)
         idx = int((dd / "counter").read_text()) if (dd / "counter").exists() \
             else 0
-        c_np = _np.asarray(jax.device_get(cond))
+        # sliced device_get: one ~100 MB transfer through the axon tunnel is
+        # itself a fault vector (r4 bench died on a dropped HTTP body mid-
+        # transfer); ~16 MB slices bound each message
+        step_rows = max(1, (16 << 20) // max(1, cond.shape[1]
+                                             * cond.shape[2] * 4))
+        c_np = _np.concatenate(
+            [_np.asarray(jax.device_get(cond[i:i + step_rows]))
+             for i in range(0, cond.shape[0], step_rows)], axis=0)
         # uncompressed: these are ~100 MB tensors and the 1-core host pays
         # ~a minute per compressed write; rotation bounds the disk use
         _np.savez(dd / f"cond_{idx % 4}.npz", cond=c_np,
