@@ -400,6 +400,20 @@ def _int8_dtype(int8_weights):
 
 
 
+def _clamp_mels(mels):
+    """Serving input contract: the vocoder is trained on mels in [0, 1]
+    (the (mel+4)/8 store convention); free-running TTS decodes can run away
+    far outside it (r5 forensics captured a trigger mel spanning [0.42, 2.93],
+    i.e. raw mel ~19 vs the [-4, 4] training range). OOD conditioning must
+    degrade audio, never the worker (VERDICT r4 #3) — clip at the model
+    boundary, a no-op for every in-contract caller. ``ETTS_VOC_NO_CLAMP=1``
+    disables it for fault forensics (scripts/voc_fault_matrix.py)."""
+    if os.environ.get("ETTS_VOC_NO_CLAMP"):
+        return mels
+    return jnp.clip(jnp.nan_to_num(mels, nan=0.0, posinf=1.0, neginf=0.0),
+                    0.0, 1.0)
+
+
 def _sanitize_cond(cond):
     """Serving robustness: hostile conditioning (NaN/Inf or huge values from
     runaway free-running mels through the upsampler) must degrade audio,
@@ -545,6 +559,7 @@ def generate(model: WaveRNN, variables, mels, *, batched: bool = True,
     mu_law = mu_law if model.mode == "RAW" else False
     if mels.ndim == 2:
         mels = mels[None]
+    mels = _clamp_mels(mels)
     b0, t_mel, _ = mels.shape
     assert b0 == 1, "generate() vocodes one utterance; see generate_batch()"
     dump_dir = os.environ.get("ETTS_DUMP_COND")
@@ -649,6 +664,7 @@ def generate_batch(model: WaveRNN, variables, mels_list, *,
     for mel in mels_list:
         if mel.ndim == 2:
             mel = mel[None]
+        mel = _clamp_mels(mel)
         wave_lens.append((mel.shape[1] - 1) * model.hop_length)
         if bucket:
             t_pad = _bucket_len(mel.shape[1])
@@ -716,6 +732,7 @@ def generate_batch_sharded(model: WaveRNN, variables, mels_list, *, mesh,
     for mel in mels_list:
         if mel.ndim == 2:
             mel = mel[None]
+        mel = _clamp_mels(mel)
         wave_lens.append((mel.shape[1] - 1) * model.hop_length)
         t_pad = _bucket_len(mel.shape[1])
         mel = jnp.pad(mel, ((0, 0), (0, t_pad - mel.shape[1]), (0, 0)))

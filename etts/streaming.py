@@ -202,9 +202,12 @@ def stream_vocode(model: WaveRNN, variables, mel_chunks, *,
             wav = mu_law_decode(wav, model.n_classes, from_labels=False)
         return wav, state
 
+    from .models.wavernn import _clamp_mels
     for mel in mel_chunks:
+        # same serving input contract as the one-shot paths: OOD mel values
+        # (runaway free-running decodes) degrade audio, never the worker
         pending = jnp.concatenate([pending,
-                                   jnp.asarray(mel, jnp.float32)])
+                                   _clamp_mels(jnp.asarray(mel, jnp.float32))])
         while pending.shape[0] >= chunk_frames + pad:
             ctx = jnp.concatenate([left, pending[:chunk_frames + pad]])
             wav, state = emit(ctx, state)
