@@ -730,13 +730,15 @@ def main():
         jax.block_until_ready(jax.jit(fwd_mel)(key))
         # the one-shot forward pass is ~100 us: it needs far more chained
         # iterations than the ms-scale paths for the two-point difference
-        # to rise above tunnel jitter (round-4 recorded a flat 0.0)
-        return _device_time(fwd_mel, key, iters=64, n_trials=6)
+        # to rise above tunnel jitter (round-4 recorded a flat 0.0; round-5
+        # at iters=64 STILL did — the N-vs-2N delta of ~6 ms sat inside the
+        # best-of-minima noise. 512 extra iterations make the delta ~50 ms.)
+        return _device_time(fwd_mel, key, iters=512, n_trials=8)
 
     fwd_sec = g("forward_tts", _forward_stage)
     fwd_extras = {}
     if fwd_sec is not None:
-        fwd_extras["forward_tts_sec"] = round(fwd_sec, 6)  # µs resolution
+        fwd_extras["forward_tts_sec"] = round(fwd_sec, 7)  # sub-µs visible
         if voc_time is not None:
             # text -> 5 s of audio with the measured vocoder: the forward
             # path's end-to-end serving RTF (mel cost ~0 next to vocoding)

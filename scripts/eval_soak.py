@@ -64,29 +64,70 @@ def main():
                              "instead of raw sample-agreement rates. "
                              "Requires --vocoder_session; int8 streaming "
                              "exists only on the TPU Pallas path")
+    parser.add_argument("--decode_out", type=str, default=None,
+                        help="two-phase mode, phase A: run the TTS decode "
+                             "(and Griffin-Lim scoring) WITHOUT a vocoder, "
+                             "saving every synthesized mel (and the first 3 "
+                             "ground-truth mels for the ceiling row) as .npy "
+                             "into this dir for a later vocoder-only process. "
+                             "Round-5 forensics (artifacts/soak/"
+                             "voc_fault_matrix.json) proved the long-mel "
+                             "worker fault needs the TTS model CO-RESIDENT "
+                             "with the vocoder: the identical mel vocodes "
+                             "fine in a fresh process, so the gate runs "
+                             "decode and vocode in separate processes")
+    parser.add_argument("--mels_in", type=str, default=None,
+                        help="two-phase mode, phase B: skip the TTS model "
+                             "entirely; load mels saved by --decode_out and "
+                             "vocode + score them (requires "
+                             "--vocoder_session)")
+    parser.add_argument("--gl_scores", type=str, default=None,
+                        help="phase B: path to phase A's scores.csv; prints "
+                             "the neural-vs-GL comparison table from it")
     args = parser.parse_args()
+    if args.decode_out and (args.mels_in or args.vocoder_session):
+        raise SystemExit("--decode_out is the vocoder-less decode phase")
+    if args.mels_in and not args.vocoder_session:
+        raise SystemExit("--mels_in requires --vocoder_session")
     # fail fast on flag-dependency misuse, before any model loading
     if args.int8_gate and not args.vocoder_session:
         raise SystemExit("--int8_gate requires --vocoder_session")
     if args.also_gl and not args.vocoder_session:
         raise SystemExit("--also_gl requires --vocoder_session")
 
+    import json
+
     import jax
-    from etts.api import TTSSynthesizer
     from etts.data.audio_io import load_wav, save_wav
     from etts.evalsuite.metrics import compute_all_metrics
 
     out_dir = Path(args.out_dir)
     (out_dir / "syn").mkdir(parents=True, exist_ok=True)
+    mels_dir = Path(args.mels_in) if args.mels_in else None
+    decode_dir = Path(args.decode_out) if args.decode_out else None
+    if decode_dir:
+        decode_dir.mkdir(parents=True, exist_ok=True)
+    manifest = {}
 
-    tts = TTSSynthesizer(args.config, args.session_name,
-                         checkpoint=args.checkpoint,
-                         model_kind=args.model_kind)
-    sr = tts.config["sampling_rate"]
+    tts = None
+    if mels_dir is None:
+        from etts.api import TTSSynthesizer
+        tts = TTSSynthesizer(args.config, args.session_name,
+                             checkpoint=args.checkpoint,
+                             model_kind=args.model_kind)
+        config = tts.config
+        print(f"restored checkpoint step {tts.step}")
+    else:
+        # phase B: the TTS transformer must NOT enter this process (the
+        # co-residency worker fault above); read the config only
+        from etts.utils.config import ConfigManager
+        config = ConfigManager(args.config, args.model_kind,
+                               args.session_name).config
+        manifest = json.loads((mels_dir / "manifest.json").read_text())
+    sr = config["sampling_rate"]
     # corpus files live where the config's data_directory points (the config
     # dir itself when unset) -- a config dir may hold only the yamls
-    cfg_dir = Path(tts.config.get("data_directory") or args.config)
-    print(f"restored checkpoint step {tts.step}")
+    cfg_dir = Path(config.get("data_directory") or args.config)
 
     vocoder = None
     if args.vocoder_session:
@@ -126,23 +167,36 @@ def main():
         return np.asarray(tts.audio.reconstruct_waveform(mel_t80.T,
                                                          n_iter=32))
 
+    if args.also_gl and mels_dir is not None:
+        raise SystemExit("phase B has no Griffin-Lim (the TTS audio stack "
+                         "stays out of the vocoder process); pass phase A's "
+                         "scores.csv via --gl_scores instead")
+
     int8_deltas = []
     results = []
     gl_results = []
     for i, (uid, text) in enumerate(rows):
         gt_path = cfg_dir / "wavs" / f"{uid}.wav"
         gt, _ = load_wav(str(gt_path), sr)
-        ref_mel = tts.mel_from_wav(gt)
-        spk = None
-        spk_path = cfg_dir / "spk_embeds" / f"{uid}.npy"
-        if getattr(tts.model, "has_speaker", False) and spk_path.exists():
-            spk = np.load(spk_path)
-        out = tts.predict(text, ref_mel=ref_mel, spk_embed=spk,
-                          max_length=args.max_length,
-                          key=jax.random.PRNGKey(i),
-                          attn_stop_patience=args.attn_stop_patience,
-                          max_frames_per_token=args.frames_per_token)
-        mel = out["mel"]
+        if mels_dir is not None:
+            mel = np.load(mels_dir / f"{uid}.npy")
+            gt_frames = int(manifest[uid]["gt_frames"])
+        else:
+            ref_mel = tts.mel_from_wav(gt)
+            gt_frames = ref_mel.shape[0]
+            spk = None
+            spk_path = cfg_dir / "spk_embeds" / f"{uid}.npy"
+            if getattr(tts.model, "has_speaker", False) and spk_path.exists():
+                spk = np.load(spk_path)
+            out = tts.predict(text, ref_mel=ref_mel, spk_embed=spk,
+                              max_length=args.max_length,
+                              key=jax.random.PRNGKey(i),
+                              attn_stop_patience=args.attn_stop_patience,
+                              max_frames_per_token=args.frames_per_token)
+            mel = np.asarray(out["mel"])
+            if decode_dir is not None:
+                np.save(decode_dir / f"{uid}.npy", mel)
+                manifest[uid] = {"gt_frames": gt_frames, "text": text}
         wav = to_wav(mel, jax.random.PRNGKey(1000 + i))
         if args.int8_gate and vocoder is not None:
             wav8 = np.asarray(vocoder.generate(
@@ -166,7 +220,7 @@ def main():
         m = compute_all_metrics(np.asarray(gt), wav, sr)
         m["file"] = uid
         m["mel_frames"] = mel.shape[0]
-        m["gt_frames"] = ref_mel.shape[0]
+        m["gt_frames"] = gt_frames
         if transcriber is not None:
             hyp = transcriber.transcribe_wav(wav, sr)
             m["WER_syn"] = wer(text, hyp)
@@ -174,9 +228,20 @@ def main():
                 np.asarray(gt), sr))
             m["hyp"] = hyp
         results.append(m)
-        print(f"{uid}: mel {mel.shape[0]}f (gt {ref_mel.shape[0]}f) "
+        print(f"{uid}: mel {mel.shape[0]}f (gt {gt_frames}f) "
               f"MCD {m['MCD']:.2f} STOI {m['STOI']:.3f}"
-              + (f" WER {m['WER_syn']:.2f}" if transcriber else ""))
+              + (f" WER {m['WER_syn']:.2f}" if transcriber else ""), flush=True)
+
+    if decode_dir is not None:
+        (decode_dir / "manifest.json").write_text(json.dumps(manifest))
+        print(f"saved {len(manifest)} mels to {decode_dir}", flush=True)
+
+    if args.gl_scores:
+        with open(args.gl_scores, newline="") as f:
+            for row in csv.DictReader(f):
+                gl_results.append({k: float(v) for k, v in row.items()
+                                   if v not in (None, "", "None")
+                                   and k not in ("file", "hyp")})
 
     # context baselines: resynthesis of the GROUND-TRUTH mel through the
     # same waveform backend (acoustic-model-independent metric ceiling)
@@ -189,7 +254,12 @@ def main():
         gt = np.asarray(gt)
         noise = rng.standard_normal(len(gt)).astype(np.float32) * 0.3
         base.append(compute_all_metrics(gt, noise, sr))
-        gmel = tts.mel_from_wav(gt)
+        if mels_dir is not None:
+            gmel = np.load(mels_dir / f"gt_{uid}.npy")
+        else:
+            gmel = tts.mel_from_wav(gt)
+            if decode_dir is not None:
+                np.save(decode_dir / f"gt_{uid}.npy", np.asarray(gmel))
         gwav = to_wav(gmel, jax.random.PRNGKey(2000 + j))
         gm = compute_all_metrics(gt, gwav, sr)
         if transcriber is not None:

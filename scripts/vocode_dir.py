@@ -1,0 +1,67 @@
+"""Vocode a directory tree of saved TTS mels in a vocoder-only process.
+
+Counterpart of `--save_mels` (synthesize_sentences_speaker.py) and
+`--decode_out` (eval_soak.py): round-5 forensics isolated the long-mel TPU
+worker fault to the TTS transformer being CO-RESIDENT with the WaveRNN
+vocoder in one process — the identical trigger mel vocodes cleanly in a
+fresh process on both the Pallas and scan paths
+(artifacts/soak/voc_fault_matrix.json). So the serving/eval protocol splits
+decode and vocode into two serial TPU processes; this is the vocode half.
+
+Walks ``--in_dir`` recursively for ``*.npy`` mels in the TTS (t, n_mels)
+[-4, 4] layout, vocodes each through the trained WaveRNN via the
+(mel+4)/8 store contract (reference `WaveRNN/gen_wavernn.py:29-42`), and
+writes ``<same stem>.wav`` next to each npy.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import _bootstrap  # noqa: E402,F401
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--voc_config", type=str, required=True)
+    parser.add_argument("--voc_session", type=str, required=True)
+    parser.add_argument("--in_dir", type=str, required=True)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 vocoder kernel weights")
+    parser.add_argument("--voc_scan", action="store_true",
+                        help="force the lax.scan sample loop")
+    parser.add_argument("--skip_existing", action="store_true",
+                        help="resume: skip mels whose wav already exists")
+    args = parser.parse_args()
+
+    import jax
+    from etts.api import VocoderSynthesizer
+    from etts.data.audio_io import save_wav
+
+    voc = VocoderSynthesizer(args.voc_config, args.voc_session)
+    sr = voc.config["sampling_rate"]
+
+    mels = sorted(Path(args.in_dir).rglob("*.npy"))
+    if not mels:
+        raise SystemExit(f"no .npy mels under {args.in_dir}")
+    done = 0
+    for i, path in enumerate(mels):
+        wav_path = path.with_suffix(".wav")
+        if args.skip_existing and wav_path.exists():
+            continue
+        mel = np.load(path)
+        wav = voc.generate((mel + 4.0) / 8.0,
+                           key=jax.random.PRNGKey(1000 + i),
+                           int8_weights=args.int8 or None,
+                           use_pallas=False if args.voc_scan else None)
+        save_wav(np.asarray(wav), str(wav_path), sr)
+        done += 1
+        print(f"[{done}/{len(mels)}] {path.stem} ({mel.shape[0]}f)",
+              flush=True)
+    print(f"vocoded {done} mels under {args.in_dir}")
+
+
+if __name__ == "__main__":
+    main()

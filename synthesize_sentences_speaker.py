@@ -70,6 +70,14 @@ def main():
                         help="restore this weights step dir instead of the "
                              "latest (exposure bias: free-running quality "
                              "peaks before train loss does, SOAK_NOTES.md)")
+    parser.add_argument("--save_mels", action="store_true",
+                        help="save each synthesized mel as <name>.npy (TTS "
+                             "[-4,4] layout) instead of vocoding, for a "
+                             "separate vocoder-only process "
+                             "(scripts/vocode_dir.py). Round-5 forensics: "
+                             "the long-mel worker fault needs the TTS model "
+                             "co-resident with the vocoder, so the serving "
+                             "protocol splits them across processes")
     args = parser.parse_args()
 
     from etts.utils.xla_cache import force_cpu_if_requested
@@ -79,7 +87,7 @@ def main():
     from etts.data.audio_io import load_wav, save_wav
 
     voc = (VocoderSynthesizer(args.voc_config, args.voc_session)
-           if args.voc_config else None)
+           if args.voc_config and not args.save_mels else None)
 
     sentences = {}
     with open(args.test_sentences, encoding="utf-8") as f:
@@ -134,6 +142,12 @@ def main():
                                   attn_stop_patience=args.attn_stop_patience,
                                   max_frames_per_token=args.frames_per_token)
                 mel = out["mel"]
+                name = f"{text_id}__{style_id}__{spk_id}"
+                if args.save_mels:
+                    np.save(out_dir / f"{name}.npy", np.asarray(mel))
+                    print(f"[{session}/{regime}] {name} "
+                          f"({mel.shape[0]}f, mel saved)", flush=True)
+                    continue
                 if voc is not None:
                     wav = voc.generate((mel + 4.0) / 8.0,
                                        int8_weights=args.int8 or None,
@@ -141,7 +155,6 @@ def main():
                                        else None)
                 else:
                     wav = np.asarray(tts.audio.reconstruct_waveform(mel.T))
-                name = f"{text_id}__{style_id}__{spk_id}"
                 save_wav(wav, out_dir / f"{name}.wav", sr)
                 print(f"[{session}/{regime}] {name}")
     print("Done.")

@@ -77,6 +77,38 @@ def test_eval_soak_flag_dependencies_fail_fast():
         assert "requires --vocoder_session" in out.stderr
 
 
+def test_eval_soak_two_phase_flag_dependencies_fail_fast():
+    """Two-phase mode contracts (the co-residency fault workaround): phase A
+    (--decode_out) must refuse any vocoder flag, phase B (--mels_in) must
+    demand one — both before any model loading."""
+    env = {"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu",
+           "HOME": "/root", "PYTHONPATH": str(ROOT)}
+    base = [sys.executable, str(ROOT / "scripts/eval_soak.py"),
+            "--config", "x", "--session_name", "s", "--out_dir", "/tmp/o"]
+    out = subprocess.run(
+        base + ["--decode_out", "/tmp/m", "--vocoder_session", "v"],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert out.returncode != 0
+    assert "vocoder-less decode phase" in out.stderr
+    out = subprocess.run(
+        base + ["--mels_in", "/tmp/m"],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert out.returncode != 0
+    assert "requires --vocoder_session" in out.stderr
+
+
+def test_vocode_dir_help_works():
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "scripts/vocode_dir.py"), "--help"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": str(ROOT)},
+    )
+    assert out.returncode == 0
+    assert "usage" in out.stdout.lower()
+
+
 def test_make_combo_file_creates_parent_dirs(tmp_path):
     """Regression: the queue passes --out into a not-yet-existing eval dir."""
     meta = tmp_path / "meta.txt"
