@@ -197,19 +197,41 @@ def main():
             if decode_dir is not None:
                 np.save(decode_dir / f"{uid}.npy", mel)
                 manifest[uid] = {"gt_frames": gt_frames, "text": text}
-        wav = to_wav(mel, jax.random.PRNGKey(1000 + i))
+        # crash-resume: reuse a wav vocoded by an earlier (possibly
+        # worker-faulted) run of this script or by scripts/vocode_dir.py
+        # into the mels dir; skip utts vocode_dir marked as crashers
+        def _existing(name):
+            for d in ([out_dir / "syn"] + ([mels_dir] if mels_dir else [])):
+                if (d / name).exists():
+                    return np.asarray(load_wav(str(d / name), sr)[0])
+            return None
+
+        if mels_dir is not None and (
+                (mels_dir / f"{uid}.crashed").exists()
+                or (args.int8_gate
+                    and (mels_dir / f"{uid}_int8.crashed").exists())):
+            print(f"{uid}: SKIPPED (crash marker from vocode_dir)",
+                  flush=True)
+            continue
+        syn_path = out_dir / "syn" / f"{uid}.wav"
+        wav = _existing(f"{uid}.wav") if mels_dir is not None else None
+        if wav is None:
+            wav = to_wav(mel, jax.random.PRNGKey(1000 + i))
+            save_wav(wav, str(syn_path), sr)
+        elif not syn_path.exists():
+            save_wav(wav, str(syn_path), sr)
         if args.int8_gate and vocoder is not None:
-            wav8 = np.asarray(vocoder.generate(
-                (mel + 4.0) / 8.0, key=jax.random.PRNGKey(1000 + i),
-                int8_weights=True,
-                use_pallas=False if args.voc_scan else None))
+            wav8 = _existing(f"{uid}_int8.wav")
+            if wav8 is None:
+                wav8 = np.asarray(vocoder.generate(
+                    (mel + 4.0) / 8.0, key=jax.random.PRNGKey(1000 + i),
+                    int8_weights=True,
+                    use_pallas=False if args.voc_scan else None))
+                save_wav(wav8, str(out_dir / "syn" / f"{uid}_int8.wav"), sr)
             m8 = compute_all_metrics(np.asarray(gt), wav8, sr)
             m_f32 = compute_all_metrics(np.asarray(gt), wav, sr)
             int8_deltas.append((m_f32["STOI"] - m8["STOI"],
                                 m8["MCD"] - m_f32["MCD"]))
-            save_wav(wav8, str(out_dir / "syn" / f"{uid}_int8.wav"), sr)
-        syn_path = out_dir / "syn" / f"{uid}.wav"
-        save_wav(wav, str(syn_path), sr)
         if args.also_gl:
             wgl = gl_wav(mel)
             mg = compute_all_metrics(np.asarray(gt), wgl, sr)
@@ -254,13 +276,24 @@ def main():
         gt = np.asarray(gt)
         noise = rng.standard_normal(len(gt)).astype(np.float32) * 0.3
         base.append(compute_all_metrics(gt, noise, sr))
+        gwav = None
         if mels_dir is not None:
+            if (mels_dir / f"gt_{uid}.crashed").exists():
+                continue
             gmel = np.load(mels_dir / f"gt_{uid}.npy")
+            for d in (out_dir / "syn", mels_dir):
+                if (d / f"gt_{uid}.wav").exists():
+                    gwav = np.asarray(
+                        load_wav(str(d / f"gt_{uid}.wav"), sr)[0])
+                    break
         else:
             gmel = tts.mel_from_wav(gt)
             if decode_dir is not None:
                 np.save(decode_dir / f"gt_{uid}.npy", np.asarray(gmel))
-        gwav = to_wav(gmel, jax.random.PRNGKey(2000 + j))
+        if gwav is None:
+            gwav = to_wav(gmel, jax.random.PRNGKey(2000 + j))
+            if mels_dir is not None:
+                save_wav(gwav, str(out_dir / "syn" / f"gt_{uid}.wav"), sr)
         gm = compute_all_metrics(gt, gwav, sr)
         if transcriber is not None:
             gm["WER_syn"] = wer(btext, transcriber.transcribe_wav(gwav, sr))
@@ -280,12 +313,13 @@ def main():
                 and np.isfinite(m[k])]
         return float(np.mean(vals)) if vals else float("nan")
 
-    print("\n=== soak eval summary (mean over held-out utts) ===")
+    print(f"\n=== soak eval summary (mean over {len(results)} "
+          f"held-out utts) ===")
     for k in keys:
         line = f"  {k:12s} syn {agg(results, k):8.3f}"
-        if k in glgt[0]:
+        if glgt and k in glgt[0]:
             line += f"   {ceiling_name} {agg(glgt, k):8.3f}"
-        if k in base[0]:
+        if base and k in base[0]:
             line += f"   noise {agg(base, k):8.3f}"
         print(line)
     if gl_results:
@@ -295,8 +329,9 @@ def main():
                 print(f"  {k:12s} neural {agg(results, k):8.3f}   "
                       f"GL {agg(gl_results, k):8.3f}")
     ratios = [m["mel_frames"] / m["gt_frames"] for m in results]
-    print(f"  length ratio syn/gt: mean {np.mean(ratios):.2f} "
-          f"min {np.min(ratios):.2f} max {np.max(ratios):.2f}")
+    if ratios:
+        print(f"  length ratio syn/gt: mean {np.mean(ratios):.2f} "
+              f"min {np.min(ratios):.2f} max {np.max(ratios):.2f}")
 
     if int8_deltas:
         d_stoi = float(np.mean([d[0] for d in int8_deltas]))

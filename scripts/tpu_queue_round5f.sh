@@ -20,6 +20,11 @@
 set -u
 cd /root/repo
 export PYTHONUNBUFFERED=1
+# block between vocoder phases: the ONLY configuration that has ever passed
+# the 600-frame trigger geometry on hardware is the fault matrix's
+# phase-synced run (artifacts/soak/voc_fault_matrix.json); the pipelined
+# production dispatch faulted even vocoder-only (r5f e2e_vocode attempts 1-2)
+export ETTS_VOC_SYNC=1
 mkdir -p artifacts/soak/r5
 echo $$ > /tmp/queue5f.pid
 
@@ -59,7 +64,7 @@ run() {
     echo "=== $name already done, skipping ==="
     return 0
   fi
-  for attempt in 1 2; do
+  for attempt in $(seq 1 "${RUN_ATTEMPTS:-2}"); do
     echo "=== $name attempt $attempt $(date) ==="
     if timeout "${JOB_TIMEOUT:-3600}" "$@" >"/tmp/r5f_$name.log" 2>&1; then
       echo "$name OK"
@@ -92,9 +97,21 @@ run e2e_decode   python scripts/eval_soak.py --config .soak \
                   --session_name curve20k --out_dir .soak/eval/e2e_gl5f \
                   --checkpoint $CK14 --ctc_ckpt .soak/ctc_asr.npz \
                   --decode_out .soak/eval/e2e_mels5f
-# phase B: vocoder-only process, fused kernel path, SAME mels, int8 gate
+# phase B pre-vocode: vocode_dir with crash markers + skip_existing makes
+# monotonic progress across worker-fault retries (each crash loses at most
+# the in-flight mel, which the retry skips)
+JOB_TIMEOUT=7200 RUN_ATTEMPTS=5 \
+run e2e_prevoc   python scripts/vocode_dir.py --voc_config .soak \
+                  --voc_session vocsoak --in_dir .soak/eval/e2e_mels5f \
+                  --skip_existing
+JOB_TIMEOUT=7200 RUN_ATTEMPTS=5 \
+run e2e_prevoc8  python scripts/vocode_dir.py --voc_config .soak \
+                  --voc_session vocsoak --in_dir .soak/eval/e2e_mels5f \
+                  --skip_existing --int8 --suffix _int8
+# phase B: scores the pre-vocoded wavs (vocodes any stragglers itself),
+# fused kernel path, SAME mels as the GL arm, int8 gate
 SNAP_EXTRA=(.soak/eval/e2e_voc5f)
-JOB_TIMEOUT=7200 \
+JOB_TIMEOUT=7200 RUN_ATTEMPTS=3 \
 run e2e_vocode   python scripts/eval_soak.py --config .soak \
                   --session_name curve20k --out_dir .soak/eval/e2e_voc5f \
                   --mels_in .soak/eval/e2e_mels5f \
@@ -112,7 +129,7 @@ run regimes_decode python synthesize_sentences_speaker.py --tts_config .soak \
                   --regimes syn_norm rand text_rand style_rand \
                   --out_dir .soak/eval/regimes_k5f --max_length 600 \
                   --save_mels
-JOB_TIMEOUT=10800 \
+JOB_TIMEOUT=10800 RUN_ATTEMPTS=6 \
 run regimes_vocode python scripts/vocode_dir.py --voc_config .soak \
                   --voc_session vocsoak --in_dir .soak/eval/regimes_k5f \
                   --skip_existing

@@ -33,7 +33,13 @@ def main():
     parser.add_argument("--voc_scan", action="store_true",
                         help="force the lax.scan sample loop")
     parser.add_argument("--skip_existing", action="store_true",
-                        help="resume: skip mels whose wav already exists")
+                        help="resume: skip mels whose wav already exists "
+                             "and mels with a .crashed marker from a prior "
+                             "worker-fault run (monotonic progress under "
+                             "deterministic faults)")
+    parser.add_argument("--suffix", type=str, default="",
+                        help="append to the wav stem (e.g. _int8 so an int8 "
+                             "pass does not overwrite the f32 wavs)")
     args = parser.parse_args()
 
     import jax
@@ -48,14 +54,26 @@ def main():
         raise SystemExit(f"no .npy mels under {args.in_dir}")
     done = 0
     for i, path in enumerate(mels):
-        wav_path = path.with_suffix(".wav")
-        if args.skip_existing and wav_path.exists():
+        wav_path = path.with_name(path.stem + args.suffix + ".wav")
+        crash_marker = path.with_name(path.stem + args.suffix + ".crashed")
+        if args.skip_existing and (wav_path.exists()
+                                   or crash_marker.exists()):
             continue
         mel = np.load(path)
-        wav = voc.generate((mel + 4.0) / 8.0,
-                           key=jax.random.PRNGKey(1000 + i),
-                           int8_weights=args.int8 or None,
-                           use_pallas=False if args.voc_scan else None)
+        try:
+            wav = voc.generate((mel + 4.0) / 8.0,
+                               key=jax.random.PRNGKey(1000 + i),
+                               int8_weights=args.int8 or None,
+                               use_pallas=False if args.voc_scan else None)
+        except Exception as e:
+            # a TPU worker fault poisons the whole backend: mark this mel so
+            # the retry skips straight past it, and exit — every completed
+            # wav above already survives on disk
+            crash_marker.write_text(f"{type(e).__name__}: {e}\n")
+            print(f"CRASHED on {path.stem} ({mel.shape[0]}f): "
+                  f"{type(e).__name__} — marker written, exiting",
+                  flush=True)
+            raise SystemExit(3)
         save_wav(np.asarray(wav), str(wav_path), sr)
         done += 1
         print(f"[{done}/{len(mels)}] {path.stem} ({mel.shape[0]}f)",
