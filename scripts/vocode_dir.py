@@ -40,7 +40,61 @@ def main():
     parser.add_argument("--suffix", type=str, default="",
                         help="append to the wav stem (e.g. _int8 so an int8 "
                              "pass does not overwrite the f32 wavs)")
+    parser.add_argument("--no_isolate", action="store_true",
+                        help="vocode every mel in THIS process instead of "
+                             "one fresh subprocess per mel. Isolation is the "
+                             "default because the long-mel TPU worker fault "
+                             "is a device-state condition: the EXACT trigger "
+                             "mel passes in a fresh single-mel process "
+                             "(artifacts/soak/voc_fault_matrix.json) but "
+                             "faults once other programs/geometries are "
+                             "resident — incl. the short-mel buckets this "
+                             "very loop compiles first (r5f e2e_prevoc "
+                             "attempt 1 faulted vocoder-only, after 3 short "
+                             "gt mels)")
+    parser.add_argument("--one", type=str, default=None,
+                        help=argparse.SUPPRESS)  # isolation child: one mel
+    parser.add_argument("--one_seed", type=int, default=0,
+                        help=argparse.SUPPRESS)
     args = parser.parse_args()
+
+    mels = ([Path(args.one)] if args.one
+            else sorted(Path(args.in_dir).rglob("*.npy")))
+    if not mels:
+        raise SystemExit(f"no .npy mels under {args.in_dir}")
+
+    if args.one is None and not args.no_isolate:
+        # parent: one fresh subprocess per pending mel — a worker fault
+        # kills only that mel's process; the parent marks it and moves on,
+        # so the whole directory completes in ONE queue attempt
+        import subprocess
+        done = failed = 0
+        for i, path in enumerate(mels):
+            wav_path = path.with_name(path.stem + args.suffix + ".wav")
+            marker = path.with_name(path.stem + args.suffix + ".crashed")
+            if args.skip_existing and (wav_path.exists() or marker.exists()):
+                continue
+            cmd = [sys.executable, __file__, "--voc_config", args.voc_config,
+                   "--voc_session", args.voc_session, "--in_dir", args.in_dir,
+                   "--one", str(path), "--one_seed", str(1000 + i)]
+            if args.int8:
+                cmd.append("--int8")
+            if args.voc_scan:
+                cmd.append("--voc_scan")
+            if args.suffix:
+                cmd += ["--suffix", args.suffix]
+            rc = subprocess.run(cmd).returncode
+            if rc == 0 and wav_path.exists():
+                done += 1
+            else:
+                failed += 1
+                if not marker.exists():
+                    marker.write_text(f"isolated vocode rc={rc}\n")
+                print(f"CRASHED (isolated, rc={rc}) on {path.stem} — "
+                      f"marker written, continuing", flush=True)
+        print(f"vocoded {done} mels under {args.in_dir}"
+              + (f" ({failed} marked crashed)" if failed else ""))
+        raise SystemExit(0 if failed == 0 else 3)
 
     import jax
     from etts.api import VocoderSynthesizer
@@ -49,20 +103,18 @@ def main():
     voc = VocoderSynthesizer(args.voc_config, args.voc_session)
     sr = voc.config["sampling_rate"]
 
-    mels = sorted(Path(args.in_dir).rglob("*.npy"))
-    if not mels:
-        raise SystemExit(f"no .npy mels under {args.in_dir}")
     done = 0
     for i, path in enumerate(mels):
         wav_path = path.with_name(path.stem + args.suffix + ".wav")
         crash_marker = path.with_name(path.stem + args.suffix + ".crashed")
-        if args.skip_existing and (wav_path.exists()
-                                   or crash_marker.exists()):
+        if args.one is None and args.skip_existing and (
+                wav_path.exists() or crash_marker.exists()):
             continue
         mel = np.load(path)
+        seed = args.one_seed if args.one else 1000 + i
         try:
             wav = voc.generate((mel + 4.0) / 8.0,
-                               key=jax.random.PRNGKey(1000 + i),
+                               key=jax.random.PRNGKey(seed),
                                int8_weights=args.int8 or None,
                                use_pallas=False if args.voc_scan else None)
         except Exception as e:
@@ -78,7 +130,8 @@ def main():
         done += 1
         print(f"[{done}/{len(mels)}] {path.stem} ({mel.shape[0]}f)",
               flush=True)
-    print(f"vocoded {done} mels under {args.in_dir}")
+    if args.one is None:
+        print(f"vocoded {done} mels under {args.in_dir}")
 
 
 if __name__ == "__main__":
