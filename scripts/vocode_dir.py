@@ -67,7 +67,13 @@ def main():
         # parent: one fresh subprocess per pending mel — a worker fault
         # kills only that mel's process; the parent marks it and moves on,
         # so the whole directory completes in ONE queue attempt
+        import os
         import subprocess
+        # a wedged tunnel request hangs forever rather than raising (r5f
+        # e2e_prevoc attempt 2: 25 min silent on one mel) — bound each child
+        # default covers a cold long-mel kernel compile on the contended
+        # 1-core host (~15 min observed) with margin
+        child_timeout = int(os.environ.get("ETTS_VOC_CHILD_TIMEOUT", "1800"))
         done = failed = 0
         for i, path in enumerate(mels):
             wav_path = path.with_name(path.stem + args.suffix + ".wav")
@@ -83,7 +89,10 @@ def main():
                 cmd.append("--voc_scan")
             if args.suffix:
                 cmd += ["--suffix", args.suffix]
-            rc = subprocess.run(cmd).returncode
+            try:
+                rc = subprocess.run(cmd, timeout=child_timeout).returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
             if rc == 0 and wav_path.exists():
                 done += 1
             else:
