@@ -206,13 +206,14 @@ def main():
                     return np.asarray(load_wav(str(d / name), sr)[0])
             return None
 
-        if mels_dir is not None and (
-                (mels_dir / f"{uid}.crashed").exists()
-                or (args.int8_gate
-                    and (mels_dir / f"{uid}_int8.crashed").exists())):
+        if mels_dir is not None and (mels_dir / f"{uid}.crashed").exists():
             print(f"{uid}: SKIPPED (crash marker from vocode_dir)",
                   flush=True)
             continue
+        # an int8-only crash degrades that utt to f32 scoring (the int8
+        # kernel path has no scan fallback) instead of dropping it
+        int8_ok = not (mels_dir is not None
+                       and (mels_dir / f"{uid}_int8.crashed").exists())
         syn_path = out_dir / "syn" / f"{uid}.wav"
         wav = _existing(f"{uid}.wav") if mels_dir is not None else None
         if wav is None:
@@ -220,7 +221,7 @@ def main():
             save_wav(wav, str(syn_path), sr)
         elif not syn_path.exists():
             save_wav(wav, str(syn_path), sr)
-        if args.int8_gate and vocoder is not None:
+        if args.int8_gate and vocoder is not None and int8_ok:
             wav8 = _existing(f"{uid}_int8.wav")
             if wav8 is None:
                 wav8 = np.asarray(vocoder.generate(

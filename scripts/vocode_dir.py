@@ -89,10 +89,26 @@ def main():
                 cmd.append("--voc_scan")
             if args.suffix:
                 cmd += ["--suffix", args.suffix]
-            try:
-                rc = subprocess.run(cmd, timeout=child_timeout).returncode
-            except subprocess.TimeoutExpired:
-                rc = "timeout"
+
+            def _child(extra=()):
+                try:
+                    return subprocess.run(list(cmd) + list(extra),
+                                          timeout=child_timeout).returncode
+                except subprocess.TimeoutExpired:
+                    return "timeout"
+
+            rc = _child()
+            if rc != 0 and not (args.voc_scan or args.int8):
+                # kernel-path fault at this mel's fold geometry: retry once
+                # in a fresh child on the geometry-independent lax.scan
+                # sample loop — SAME trained vocoder, so quality gates keep
+                # their neural wav; only the loop implementation differs
+                # (int8 weight streaming is kernel-only: no scan retry there)
+                print(f"retrying {path.stem} on the scan loop (kernel child "
+                      f"rc={rc})", flush=True)
+                rc = _child(("--voc_scan",))
+                if rc == 0 and wav_path.exists() and marker.exists():
+                    marker.unlink()  # the kernel child's marker is stale
             if rc == 0 and wav_path.exists():
                 done += 1
             else:
