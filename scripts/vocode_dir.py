@@ -75,6 +75,7 @@ def main():
         # 1-core host (~15 min observed) with margin
         child_timeout = int(os.environ.get("ETTS_VOC_CHILD_TIMEOUT", "1800"))
         done = failed = 0
+        kernel_fault_streak = 0  # consecutive kernel-child faults
         for i, path in enumerate(mels):
             wav_path = path.with_name(path.stem + args.suffix + ".wav")
             marker = path.with_name(path.stem + args.suffix + ".crashed")
@@ -97,18 +98,34 @@ def main():
                 except subprocess.TimeoutExpired:
                     return "timeout"
 
-            rc = _child()
-            if rc != 0 and not (args.voc_scan or args.int8):
-                # kernel-path fault at this mel's fold geometry: retry once
-                # in a fresh child on the geometry-independent lax.scan
-                # sample loop — SAME trained vocoder, so quality gates keep
-                # their neural wav; only the loop implementation differs
-                # (int8 weight streaming is kernel-only: no scan retry there)
-                print(f"retrying {path.stem} on the scan loop (kernel child "
-                      f"rc={rc})", flush=True)
+            # after 2 consecutive kernel-child faults (each one a worker
+            # crash + ~6 min recovery), assume the batch shares the faulting
+            # fold geometry and go scan-first for the remaining mels
+            scan_first = (not (args.voc_scan or args.int8)
+                          and kernel_fault_streak >= 2)
+            if scan_first:
+                print(f"{path.stem}: scan-first (kernel fault streak "
+                      f"{kernel_fault_streak})", flush=True)
                 rc = _child(("--voc_scan",))
-                if rc == 0 and wav_path.exists() and marker.exists():
-                    marker.unlink()  # the kernel child's marker is stale
+            else:
+                rc = _child()
+                if args.voc_scan or args.int8:
+                    pass
+                elif rc != 0:
+                    # kernel-path fault at this mel's fold geometry: retry
+                    # once in a fresh child on the geometry-independent
+                    # lax.scan sample loop — SAME trained vocoder, so quality
+                    # gates keep their neural wav; only the loop
+                    # implementation differs (int8 weight streaming is
+                    # kernel-only: no scan retry there)
+                    kernel_fault_streak += 1
+                    print(f"retrying {path.stem} on the scan loop (kernel "
+                          f"child rc={rc})", flush=True)
+                    rc = _child(("--voc_scan",))
+                    if rc == 0 and wav_path.exists() and marker.exists():
+                        marker.unlink()  # the kernel child's marker is stale
+                else:
+                    kernel_fault_streak = 0
             if rc == 0 and wav_path.exists():
                 done += 1
             else:
