@@ -410,6 +410,16 @@ def _clamp_mels(mels):
     disables it for fault forensics (scripts/voc_fault_matrix.py)."""
     if os.environ.get("ETTS_VOC_NO_CLAMP"):
         return mels
+    if not isinstance(mels, jax.core.Tracer):
+        # concrete (eager serving) input: clamp on the HOST. The jnp version
+        # enqueues extra tiny device programs before the vocoder chain, and
+        # multi-program residency is the live suspect for the long-mel
+        # worker fault (the fault matrix's passing cells all ran with
+        # ETTS_VOC_NO_CLAMP=1 + host-side numpy clamping; production with
+        # the in-graph clamp faults at the same mel/geometry)
+        return np.clip(np.nan_to_num(np.asarray(mels, dtype=np.float32),
+                                     nan=0.0, posinf=1.0, neginf=0.0),
+                       0.0, 1.0)
     return jnp.clip(jnp.nan_to_num(mels, nan=0.0, posinf=1.0, neginf=0.0),
                     0.0, 1.0)
 
