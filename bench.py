@@ -160,7 +160,18 @@ def _device_time(stage, key, iters: int, n_trials: int = 4) -> float:
     def make(n):
         def chained(k):
             def body(i, acc):
-                out = stage(jax.random.fold_in(k, i))
+                # Fold the loop carry into the stage key via a zero XLA
+                # cannot constant-fold (isnan of a carried float): chains
+                # iterations for key-consuming stages. NOTE this is NOT
+                # sufficient on its own — a stage whose OUTPUT ignores the
+                # key entirely (inference paths with dropout off) is
+                # loop-invariant no matter how the key is built, and LICM
+                # lifts it out of the while loop (T_2N == T_N, stage times
+                # as 0.0, the round-4/5 forward_tts/tts_encode records).
+                # Such stages must route the key into a consumed input —
+                # see _key_dependent_tokens.
+                zero = jnp.where(jnp.isnan(acc), 1, 0).astype(jnp.int32)
+                out = stage(jax.random.fold_in(k, i + zero))
                 # force EVERY leaf: independently-computed outputs (e.g. the
                 # per-utterance finalize calls of a batched serve) would
                 # otherwise be dead-code-eliminated and under-timed
@@ -183,6 +194,20 @@ def _device_time(stage, key, iters: int, n_trials: int = 4) -> float:
         jax.block_until_ready(f2(k))
         b2 = min(b2, time.perf_counter() - t0)
     return max(b2 - b1, 1e-9) / iters
+
+
+def _key_dependent_tokens(tokens, k):
+    """Key-dependent copy of an int token array, numerically identical.
+
+    For timing stages whose compute ignores the rng key (inference, dropout
+    off): `uniform(k) < 2.0` is always true but XLA cannot constant-fold a
+    comparison on runtime random bits, so the selected tokens — and every op
+    downstream — become loop-variant inside _device_time's fori_loop instead
+    of being hoisted (the cause of the flat-0.0 forward_tts/tts_encode
+    readings in the round-4/5 records). Cost: one tiny uniform + select.
+    """
+    live = jax.random.uniform(k, tokens.shape) < 2.0
+    return jnp.where(live, tokens, tokens + 1)
 
 
 def _two_point_carry_time(step1, carry, key, N=8, trials=3):
@@ -603,8 +628,9 @@ def main():
         def _enc_stage():
             def enc_only(k):
                 ekey, _ = jax.random.split(k)
+                phon_k = _key_dependent_tokens(phonemes, k)
                 return tts.apply(
-                    tts_vars, phonemes, ref_mel, spk, False, False, 0,
+                    tts_vars, phon_k, ref_mel, spk, False, False, 0,
                     method=AutoregressiveTransformer.encode,
                     rngs={"dropout": ekey, "prenet": ekey})[0]
 
@@ -707,9 +733,15 @@ def main():
     train_b32 = g("train_bf16_b32",
                   lambda: _bench_train(jnp.bfloat16, b=32),
                   default=(None, None))
+    # b=16 was the round-4 MFU peak (30.6%) — keep it in the record so the
+    # batch sweep brackets the knee
+    train_b16 = g("train_bf16_b16",
+                  lambda: _bench_train(jnp.bfloat16, b=16),
+                  default=(None, None))
     train_fp32_sec, mfu_train_fp32 = train_fp32
     train_bf16_sec, mfu_train_bf16 = train_bf16
     train_b32_sec, mfu_train_b32 = train_b32
+    train_b16_sec, mfu_train_b16 = train_b16
 
     # --- forward (duration-based) acoustic model: one-shot MXU decode -------
     # the non-AR synthesis path (SURVEY §2.1 ForwardTransformer): the whole
@@ -724,7 +756,8 @@ def main():
                         max_frames=512)
 
         def fwd_mel(k):
-            return fm.apply(fvars, phonemes, None, max_frames=512,
+            phon_k = _key_dependent_tokens(phonemes, k)
+            return fm.apply(fvars, phon_k, None, max_frames=512,
                             rngs={"dropout": k, "prenet": k})["mel"]
 
         jax.block_until_ready(jax.jit(fwd_mel)(key))
@@ -814,6 +847,9 @@ def main():
             "mfu_train_bf16_b32": _r(mfu_train_b32),
             "train_samples_per_sec_b32": _r(32 / train_b32_sec
                                             if train_b32_sec else None, 1),
+            "train_step_bf16_b16_ms": _r(train_b16_sec * 1e3
+                                         if train_b16_sec else None, 2),
+            "mfu_train_bf16_b16": _r(mfu_train_b16),
             "mfu_ar_decode": _r(mfu_decode),
             "mfu_vocoder_kernel": _r(mfu_vocoder),
             **fwd_extras,
