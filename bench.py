@@ -160,18 +160,15 @@ def _device_time(stage, key, iters: int, n_trials: int = 4) -> float:
     def make(n):
         def chained(k):
             def body(i, acc):
-                # Fold the loop carry into the stage key via a zero XLA
-                # cannot constant-fold (isnan of a carried float): chains
-                # iterations for key-consuming stages. NOTE this is NOT
-                # sufficient on its own — a stage whose OUTPUT ignores the
-                # key entirely (inference paths with dropout off) is
-                # loop-invariant no matter how the key is built, and LICM
-                # lifts it out of the while loop (T_2N == T_N, stage times
-                # as 0.0, the round-4/5 forward_tts/tts_encode records).
-                # Such stages must route the key into a consumed input —
-                # see _key_dependent_tokens.
-                zero = jnp.where(jnp.isnan(acc), 1, 0).astype(jnp.int32)
-                out = stage(jax.random.fold_in(k, i + zero))
+                # HOISTING HAZARD: a stage whose OUTPUT ignores the key
+                # entirely (inference paths with dropout off) is
+                # loop-invariant, and XLA's LICM lifts it out of the while
+                # loop — T_2N == T_N and the stage times as 0.0 (the
+                # round-4/5 forward_tts/tts_encode records). Such stages
+                # must route the key into a consumed input — see
+                # _key_dependent_tokens. Key-consuming stages are naturally
+                # loop-variant through fold_in(k, i).
+                out = stage(jax.random.fold_in(k, i))
                 # force EVERY leaf: independently-computed outputs (e.g. the
                 # per-utterance finalize calls of a batched serve) would
                 # otherwise be dead-code-eliminated and under-timed
